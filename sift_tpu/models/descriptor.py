@@ -1,0 +1,187 @@
+"""128-D gradient-histogram descriptors.
+
+TPU-native rebuild of compute_descriptors / update_histogram /
+convert_hist_to_desc (src/sift.cpp:541-682).
+
+The reference's per-keypoint rotated sample loop with scatter-add trilinear
+binning is reformulated as a 3-way one-hot contraction so it runs on the MXU:
+for every sample we build 2-sparse one-hot factors along the row, column and
+orientation bin axes (boundary bins dropped, orientation wraps mod 8 like
+src/sift.cpp:563), take the row x col outer product, and contract against the
+orientation factor — hist[r, c, o] = sum_s R[s, r] * C[s, c] * O[s, o].  The
+per-contribution multiply chain keeps the reference order
+((magnitude * f_r) * f_c) * f_o.  Keypoints are processed in ``lax.map``
+chunks to bound the (chunk, S^2, 16) intermediate.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from sift_tpu.config import (
+    DESC_HIST_BINS,
+    DESC_HIST_WIDTH,
+    DESC_MAGNITUDE_THR,
+    INT_DESCR_FCTR,
+    M_PI2,
+    SiftConfig,
+)
+from sift_tpu.models.orient import gather_patches, max_size_octave, pad_stack
+from sift_tpu.utils.keypoints import Keypoints
+from sift_tpu.utils.numerics import round_half_away
+
+DESC_CHUNK = 128
+
+
+def desc_radius_bound(cfg: SiftConfig) -> int:
+    """Static bound for the descriptor radius (src/sift.cpp:636-639)."""
+    hw = cfg.desc_scale_factor * max_size_octave(cfg)
+    return int(math.ceil(hw * 0.5 * math.sqrt(2.0) * (DESC_HIST_WIDTH + 1.0) + 1.0))
+
+
+def compute_octave_descriptors(
+    gauss: jnp.ndarray, kp: Keypoints, octave: int, cfg: SiftConfig
+) -> jnp.ndarray:
+    """Descriptors for one octave's keypoints: (N, 128) uint8.
+
+    ``kp`` holds post-dedup keypoints of this octave in input-image coords.
+    """
+    dtype = gauss.dtype
+    height, width = gauss.shape[-2], gauss.shape[-1]
+    r_max = desc_radius_bound(cfg)
+    n = kp.capacity
+
+    # src/sift.cpp:620-625: coords were already halved, hence octave-1.
+    if cfg.double_image_size:
+        pow_denom = 1.0 / math.pow(2, octave - 1)
+    else:
+        pow_denom = 1.0 / math.pow(2, octave)
+    x = (kp.x * pow_denom).astype(jnp.int32)  # C int truncation (src/sift.cpp:623)
+    y = (kp.y * pow_denom).astype(jnp.int32)
+    size = kp.size * pow_denom
+
+    bins_per_rad = DESC_HIST_BINS / M_PI2
+    cos_a = jnp.cos(kp.pori)
+    sin_a = jnp.sin(kp.pori)
+
+    hist_width = cfg.desc_scale_factor * size
+    hw_safe = jnp.where(kp.valid & (hist_width > 0), hist_width, jnp.asarray(1, dtype))
+    exp_denom = 0.5 * DESC_HIST_WIDTH * DESC_HIST_WIDTH
+    tmp_radius = round_half_away(
+        hist_width * 0.5 * math.sqrt(2.0) * (DESC_HIST_WIDTH + 1.0) + 0.5
+    )
+    diag = math.sqrt(width * width + height * height)
+    radius = jnp.minimum(tmp_radius, jnp.asarray(diag, dtype)).astype(jnp.int32)
+
+    padded = pad_stack(gauss, r_max)
+    layer_c = jnp.clip(kp.layer, 0, gauss.shape[0] - 1)
+    xc = jnp.clip(x, 0, width - 1)
+    yc = jnp.clip(y, 0, height - 1)
+
+    offs = jnp.arange(-r_max, r_max + 1)
+    rg = offs[:, None].astype(dtype)  # (s, 1) row = y offset
+    cg = offs[None, :].astype(dtype)  # (1, s) col = x offset
+    s2 = (2 * r_max + 1) ** 2
+
+    rr = jnp.arange(DESC_HIST_WIDTH)
+    oo = jnp.arange(DESC_HIST_BINS)
+
+    def desc_chunk(args):
+        lay, yy, xx, xo, yo, rad, hw, ca, sa, pori, vmask = args
+        nc = lay.shape[0]
+        patches = gather_patches(padded, lay, yy, xx, r_max)
+        dx = patches[:, 1:-1, 2:] - patches[:, 1:-1, :-2]
+        dy = patches[:, :-2, 1:-1] - patches[:, 2:, 1:-1]
+
+        row_rot = (cg * sa[:, None, None] + rg * ca[:, None, None]) / hw[:, None, None]
+        col_rot = (cg * ca[:, None, None] - rg * sa[:, None, None]) / hw[:, None, None]
+        row_bin = (row_rot + DESC_HIST_WIDTH // 2) - 0.5
+        col_bin = (col_rot + DESC_HIST_WIDTH // 2) - 0.5
+
+        new_x = xo[:, None, None] + offs[None, None, :]
+        new_y = yo[:, None, None] + offs[None, :, None]
+        mask = (
+            (row_bin > -1.0) & (row_bin < DESC_HIST_WIDTH)
+            & (col_bin > -1.0) & (col_bin < DESC_HIST_WIDTH)
+            & (new_x > 0) & (new_x < width - 1)
+            & (new_y > 0) & (new_y < height - 1)
+            & (jnp.abs(offs[None, None, :]) <= rad[:, None, None])
+            & (jnp.abs(offs[None, :, None]) <= rad[:, None, None])
+            & vmask[:, None, None]
+        )
+
+        magnitude = jnp.sqrt(dx * dx + dy * dy)
+        angle = jnp.arctan2(dy, dx) - pori[:, None, None]
+        angle = jnp.fmod(jnp.fmod(angle, M_PI2) + M_PI2, M_PI2)
+        ori_bin = angle * bins_per_rad
+        weight = jnp.exp(-(row_rot * row_rot + col_rot * col_rot) / exp_denom)
+        m = jnp.where(mask, magnitude * weight, jnp.asarray(0, dtype))
+
+        row_bin = row_bin.reshape(nc, s2)
+        col_bin = col_bin.reshape(nc, s2)
+        ori_bin = ori_bin.reshape(nc, s2)
+        m = m.reshape(nc, s2)
+
+        base_r = jnp.floor(row_bin)
+        base_c = jnp.floor(col_bin)
+        base_o = jnp.floor(ori_bin)
+        d_r = row_bin - base_r
+        d_c = col_bin - base_c
+        d_o = ori_bin - base_o
+        base_r = base_r.astype(jnp.int32)
+        base_c = base_c.astype(jnp.int32)
+        base_o = base_o.astype(jnp.int32)
+
+        fr = (m * (1.0 - d_r))[..., None] * (base_r[..., None] == rr) + (
+            m * d_r
+        )[..., None] * ((base_r + 1)[..., None] == rr)
+        fc = (1.0 - d_c)[..., None] * (base_c[..., None] == rr) + d_c[..., None] * (
+            (base_c + 1)[..., None] == rr
+        )
+        fo = (1.0 - d_o)[..., None] * (
+            (base_o % DESC_HIST_BINS)[..., None] == oo
+        ) + d_o[..., None] * (((base_o + 1) % DESC_HIST_BINS)[..., None] == oo)
+
+        rc = fr[:, :, :, None] * fc[:, :, None, :]  # (nc, S2, 4, 4)
+        hist = jnp.einsum("nsrc,nso->nrco", rc, fo)  # (nc, 4, 4, 8)
+        return _hist_to_desc(hist.reshape(nc, 128))
+
+    chunk = min(DESC_CHUNK, n)
+    nchunk = -(-n // chunk)
+    pad_n = nchunk * chunk - n
+
+    def chunked(a):
+        if pad_n:
+            a = jnp.concatenate([a, jnp.zeros((pad_n,) + a.shape[1:], a.dtype)])
+        return a.reshape((nchunk, chunk) + a.shape[1:])
+
+    desc = jax.lax.map(
+        desc_chunk,
+        (
+            chunked(layer_c), chunked(yc), chunked(xc), chunked(x), chunked(y),
+            chunked(radius), chunked(hw_safe), chunked(cos_a), chunked(sin_a),
+            chunked(kp.pori), chunked(kp.valid),
+        ),
+    ).reshape(nchunk * chunk, 128)[:n]
+    return desc
+
+
+def _hist_to_desc(hist: jnp.ndarray) -> jnp.ndarray:
+    """convert_hist_to_desc (src/sift.cpp:576-603): L2 normalize, clip at 0.2,
+    renormalize, floor(512 * v) clamped to 255.
+
+    The reference has no epsilon (all-zero histograms become NaN garbage,
+    src/sift.cpp:586-597); we emit zeros for that degenerate case instead.
+    """
+    norm = jnp.sqrt(jnp.sum(hist * hist, axis=1, keepdims=True))
+    norm_safe = jnp.where(norm > 0, norm, 1.0)
+    norm_inv = jnp.where(norm > 0, 1.0 / norm_safe, 0.0)
+    h = jnp.minimum(hist * norm_inv, DESC_MAGNITUDE_THR)
+    norm2 = jnp.sqrt(jnp.sum(h * h, axis=1, keepdims=True))
+    norm2_safe = jnp.where(norm2 > 0, norm2, 1.0)
+    norm2_inv = jnp.where(norm2 > 0, 1.0 / norm2_safe, 0.0)
+    val = jnp.floor(INT_DESCR_FCTR * h * norm2_inv).astype(jnp.int32)
+    return jnp.minimum(val, 255).astype(jnp.uint8)

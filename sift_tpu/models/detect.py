@@ -1,0 +1,240 @@
+"""DoG extrema detection and sub-pixel Newton refinement.
+
+TPU-native rebuild of:
+  - is_extremum / detect_octave_extrema (src/sift.cpp:227-319): the scalar
+    26-neighbor scan becomes a fused 3x3x3 min/max-pool comparison over the
+    whole DoG volume, followed by masked compaction to a static capacity.
+  - compute_keypoints (src/sift.cpp:330-436): the per-extremum <=5-step Newton
+    loop becomes 5 masked batched steps over the capacity buffer (the
+    reference's per-extremum deep octave copies, src/sift.cpp:346, disappear
+    entirely).
+
+All math follows the reference's exact expression ordering so the f64 parity
+profile is bit-faithful; cube values are /255 like get_pixel_cube
+(src/sift.cpp:39).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from sift_tpu.config import SiftConfig
+from sift_tpu.utils.keypoints import Keypoints
+from sift_tpu.utils.numerics import round_half_away
+
+
+def detect_octave_extrema(
+    dog: jnp.ndarray, threshold: float, cap: int, window_size: int = 3
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Find 26-neighbor extrema of a (D, H, W) DoG stack.
+
+    Matches src/sift.cpp:227-291: a pixel is an extremum if it is >= all
+    window neighbors or <= all of them (ties allowed), and |pixel| > threshold
+    (threshold compare at src/sift.cpp:279 skips |p| <= thr).
+
+    Returns (zyx (cap, 3) int32, valid (cap,) bool).
+    """
+    w = window_size
+    b = w // 2
+    wmax = jax.lax.reduce_window(
+        dog, -jnp.inf, jax.lax.max, (w, w, w), (1, 1, 1), "VALID"
+    )
+    wmin = jax.lax.reduce_window(
+        dog, jnp.inf, jax.lax.min, (w, w, w), (1, 1, 1), "VALID"
+    )
+    center = dog[b:-b, b:-b, b:-b]
+    is_ext = (jnp.abs(center) > threshold) & ((center >= wmax) | (center <= wmin))
+
+    flat = is_ext.reshape(-1)
+    n = flat.shape[0]
+    idx = jnp.nonzero(flat, size=cap, fill_value=n)[0]
+    valid = idx < n
+    idx = jnp.minimum(idx, n - 1)
+    d2, h2, w2 = is_ext.shape
+    z = idx // (h2 * w2)
+    y = (idx // w2) % h2
+    x = idx % w2
+    zyx = jnp.stack([z + b, y + b, x + b], axis=-1).astype(jnp.int32)
+    return zyx, valid
+
+
+def _gather_cubes(dog: jnp.ndarray, zyx: jnp.ndarray) -> jnp.ndarray:
+    """(N, 3, 3, 3) cubes (axes dz, dy, dx), values / 255 (src/sift.cpp:39)."""
+
+    def one(p):
+        return jax.lax.dynamic_slice(dog, (p[0] - 1, p[1] - 1, p[2] - 1), (3, 3, 3))
+
+    cubes = jax.vmap(one)(zyx)
+    return cubes / jnp.asarray(255.0, dog.dtype)
+
+
+def _gradient(c: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(dz, dx, dy) central differences (src/sift.cpp:49-55)."""
+    g0 = 0.5 * (c[:, 2, 1, 1] - c[:, 0, 1, 1])
+    g1 = 0.5 * (c[:, 1, 1, 2] - c[:, 1, 1, 0])
+    g2 = 0.5 * (c[:, 1, 2, 1] - c[:, 1, 0, 1])
+    return g0, g1, g2
+
+
+def _hessian(c: jnp.ndarray):
+    """Symmetric 3x3 Hessian entries (src/sift.cpp:60-80); axis order (z,x,y)."""
+    ctr = c[:, 1, 1, 1]
+    h00 = c[:, 0, 1, 1] - 2 * ctr + c[:, 2, 1, 1]
+    h11 = c[:, 1, 1, 0] - 2 * ctr + c[:, 1, 1, 2]
+    h22 = c[:, 1, 0, 1] - 2 * ctr + c[:, 1, 2, 1]
+    h01 = 0.25 * (c[:, 2, 1, 2] - c[:, 2, 1, 0] - c[:, 0, 1, 2] + c[:, 0, 1, 0])
+    h02 = 0.25 * (c[:, 2, 2, 1] - c[:, 2, 0, 1] - c[:, 0, 2, 1] + c[:, 0, 0, 1])
+    h12 = 0.25 * (c[:, 1, 0, 0] - c[:, 1, 0, 2] - c[:, 1, 2, 0] + c[:, 1, 2, 2])
+    return h00, h11, h22, h01, h02, h12
+
+
+def _fit_quadratic(g, h):
+    """offset = -H^{-1} g via the adjugate, exact order of src/sift.cpp:86-106.
+
+    No singularity guard, like the reference: det == 0 yields inf/nan offsets
+    which fail the convergence test and end in rejection.
+    """
+    g0, g1, g2 = g
+    h00, h11, h22, h01, h02, h12 = h
+    det = (
+        h00 * h11 * h22
+        + 2 * (h01 * h12 * h02)
+        - h02 * h11 * h02
+        - h00 * h12 * h12
+        - h01 * h01 * h22
+    )
+    i00 = (h11 * h22 - h12 * h12) / det
+    i01 = (h02 * h12 - h01 * h22) / det
+    i02 = (h01 * h12 - h02 * h11) / det
+    i11 = (h00 * h22 - h02 * h02) / det
+    i12 = (h02 * h01 - h00 * h12) / det
+    i22 = (h00 * h11 - h01 * h01) / det
+    o0 = -i00 * g0 - i01 * g1 - i02 * g2
+    o1 = -i01 * g0 - i11 * g1 - i12 * g2
+    o2 = -i02 * g0 - i12 * g1 - i22 * g2
+    return o0, o1, o2
+
+
+def refine_octave_keypoints(
+    dog: jnp.ndarray,
+    zyx: jnp.ndarray,
+    valid: jnp.ndarray,
+    octave: int,
+    cfg: SiftConfig,
+) -> Keypoints:
+    """Batched Newton refinement + contrast/edge tests (src/sift.cpp:330-436).
+
+    Returns keypoints in *initial* (possibly doubled) image coordinates, with
+    pori = 0; orientation assignment multiplies/filters them later.
+    """
+    depth, height, width = dog.shape
+    border = cfg.window_size // 2
+    dtype = dog.dtype
+    n = zyx.shape[0]
+
+    zero = jnp.zeros((n,), dtype)
+    state = dict(
+        pos=zyx,
+        active=valid,
+        converged=jnp.zeros((n,), bool),
+        g=(zero, zero, zero),
+        h=(zero, zero, zero, zero, zero, zero),
+        off=(zero, zero, zero),
+        center=zero,
+    )
+
+    def step(st):
+        cubes = _gather_cubes(dog, st["pos"])
+        g = _gradient(cubes)
+        h = _hessian(cubes)
+        off = _fit_quadratic(g, h)
+        max_off = jnp.maximum(
+            jnp.abs(off[0]), jnp.maximum(jnp.abs(off[1]), jnp.abs(off[2]))
+        )
+        conv_now = st["active"] & (max_off < 0.5)  # CONVERGENCE_THR (sift.hh:8)
+
+        def sel(mask, new, old):
+            return jax.tree.map(lambda a, b: jnp.where(mask, a, b), new, old)
+
+        st_g = sel(conv_now, g, st["g"])
+        st_h = sel(conv_now, h, st["h"])
+        st_off = sel(conv_now, off, st["off"])
+        st_center = jnp.where(conv_now, cubes[:, 1, 1, 1], st["center"])
+
+        moving = st["active"] & ~conv_now
+        dz = round_half_away(off[0]).astype(jnp.int32)
+        dx = round_half_away(off[1]).astype(jnp.int32)
+        dy = round_half_away(off[2]).astype(jnp.int32)
+        newpos = st["pos"] + jnp.stack([dz, dy, dx], axis=-1)
+        z, y, x = newpos[:, 0], newpos[:, 1], newpos[:, 2]
+        in_bounds = (
+            (x >= border) & (x < width - border)
+            & (y >= border) & (y < height - border)
+            & (z >= border) & (z < depth - border)
+        )
+        pos = jnp.where(moving[:, None], newpos, st["pos"])
+        # moving lanes that left bounds are rejected (src/sift.cpp:405-410);
+        # clamp their positions so later gathers stay in range.
+        pos = jnp.clip(
+            pos,
+            jnp.asarray([border, border, border]),
+            jnp.asarray([depth - 1 - border, height - 1 - border, width - 1 - border]),
+        )
+        return dict(
+            pos=pos,
+            active=moving & in_bounds,
+            converged=st["converged"] | conv_now,
+            g=st_g,
+            h=st_h,
+            off=st_off,
+            center=st_center,
+        )
+
+    for _ in range(5):  # MAX_CONVERGENCE_STEPS (src/sift.hh:7)
+        state = step(state)
+
+    g0, g1, g2 = state["g"]
+    o0, o1, o2 = state["off"]
+    h00, h11, h22, h01, h02, h12 = state["h"]
+
+    # Contrast test (src/sift.cpp:365-378)
+    dot_go = g0 * o0 + g1 * o1 + g2 * o2
+    interp = state["center"] + 0.5 * dot_go
+    valid_contrast = (jnp.abs(interp) * cfg.intervals) >= cfg.contrast_threshold
+
+    # Edge test on the spatial 2x2 Hessian (src/sift.cpp:380-396);
+    # reference indices [1][1]=dxx, [2][2]=dyy, [1][2]=dxy.
+    tr = h11 + h22
+    det2 = h11 * h22 - h12 * h12
+    not_edge = (tr > 0) & ((tr * tr * cfg.eigen_ratio) < (
+        (cfg.eigen_ratio + 1) * (cfg.eigen_ratio + 1) * det2
+    ))
+
+    accept = state["converged"] & valid_contrast & not_edge
+
+    z = state["pos"][:, 0]
+    y = state["pos"][:, 1]
+    x = state["pos"][:, 2]
+    octave_scale = float(math.pow(2, octave))
+    fx = octave_scale * (x.astype(dtype) + o1)
+    fy = octave_scale * (y.astype(dtype) + o2)
+    size = (
+        cfg.init_sigma
+        * octave_scale
+        * jnp.exp2((z.astype(dtype) + o0) / cfg.intervals)
+    )
+
+    return Keypoints(
+        x=fx,
+        y=fy,
+        octave=jnp.full((n,), octave, jnp.int32),
+        layer=z.astype(jnp.int32),
+        size=size,
+        pori=jnp.zeros((n,), dtype),
+        desc=jnp.zeros((n, 128), jnp.uint8),
+        valid=accept,
+    )

@@ -1,0 +1,177 @@
+"""Orientation assignment.
+
+TPU-native rebuild of compute_orientations (src/sift.cpp:447-533).
+
+The reference's per-keypoint dynamic radius ``round(3 * 1.5 * size)`` is
+bounded because refined layers stay in [1, intervals] and |offset| < 0.5
+(src/sift.cpp:405-410), so size_octave <= init_sigma * 2^((intervals+0.5)/intervals).
+That static bound lets every keypoint gather a fixed (2R+3)^2 patch; the
+dynamic radius and image-border skips become masks.  The 36-bin histogram is a
+masked one-hot contraction (matmul-friendly), computed in keypoint chunks via
+``lax.map`` to bound the one-hot intermediate.  The reference's *in-place*
+sequential smoothing (src/sift.cpp:496-504, where updated bins feed later
+ones) is reproduced exactly with an unrolled 36-step column update.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from sift_tpu.config import M_PI2, ORI_SMOOTH_ITERATIONS, SiftConfig
+from sift_tpu.utils.keypoints import Keypoints
+from sift_tpu.utils.numerics import round_half_away
+
+# Keypoint-chunk size for histogram accumulation (memory/VMEM bound, not
+# semantics).
+ORI_CHUNK = 256
+
+
+def max_size_octave(cfg: SiftConfig) -> float:
+    """Upper bound on keypoint size in octave coordinates (see module doc)."""
+    max_layer = cfg.intervals  # layers live in [border, depth-1-border] = [1, intervals]
+    return cfg.init_sigma * math.pow(2, (max_layer + 0.5) / cfg.intervals)
+
+
+def ori_radius_bound(cfg: SiftConfig) -> int:
+    """Static bound for round(3 * ori_sigma_factor * size) (src/sift.cpp:463)."""
+    return int(math.ceil(3.0 * cfg.ori_sigma_factor * max_size_octave(cfg) + 0.5))
+
+
+def gather_patches(
+    padded: jnp.ndarray, layer: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray, r: int
+) -> jnp.ndarray:
+    """(N, 2r+3, 2r+3) patches from a pre-padded (S, H+2(r+1), W+2(r+1)) stack;
+    patch[a, b] = img[layer, y + a - r - 1, x + b - r - 1] for y, x in image
+    coordinates.  Out-of-image samples read the zero pad and must be masked.
+    """
+    p = 2 * r + 3
+
+    def one(l, yy, xx):
+        return jax.lax.dynamic_slice(padded, (l, yy, xx), (1, p, p))[0]
+
+    return jax.vmap(one)(layer, y, x)
+
+
+def pad_stack(gauss: jnp.ndarray, r: int) -> jnp.ndarray:
+    return jnp.pad(gauss, ((0, 0), (r + 1, r + 1), (r + 1, r + 1)))
+
+
+def orient_octave_keypoints(
+    gauss: jnp.ndarray, kp: Keypoints, octave: int, cfg: SiftConfig
+) -> Keypoints:
+    """Assign orientations to one octave's keypoints.
+
+    Input keypoints are in initial (possibly doubled) image coordinates;
+    outputs are in *input image* coordinates (halved when doubling, matching
+    src/sift.cpp:522-526), expanded to one keypoint per histogram peak.
+    Output capacity is N * num_bins candidates with a validity mask; callers
+    compact it.
+    """
+    dtype = gauss.dtype
+    n = kp.capacity
+    nb = cfg.num_bins
+    height, width = gauss.shape[-2], gauss.shape[-1]
+    r_max = ori_radius_bound(cfg)
+
+    pow_denom = 1.0 / math.pow(2, octave)
+    x = round_half_away(kp.x * pow_denom).astype(jnp.int32)  # src/sift.cpp:458
+    y = round_half_away(kp.y * pow_denom).astype(jnp.int32)
+    size = kp.size * pow_denom
+    scale = cfg.ori_sigma_factor * size
+    radius = round_half_away(3.0 * scale).astype(jnp.int32)  # src/sift.cpp:463
+    exp_denom = 2.0 * scale * scale
+
+    padded = pad_stack(gauss, r_max)
+    layer_c = jnp.clip(kp.layer, 0, gauss.shape[0] - 1)
+    xc = jnp.clip(x, 0, width - 1)
+    yc = jnp.clip(y, 0, height - 1)
+
+    # Sample grid: i is the x offset, j the y offset (src/sift.cpp:472-483).
+    ii = jnp.arange(-r_max, r_max + 1)
+    ig = ii[None, :]  # (1, s) x offsets
+    jg = ii[:, None]  # (s, 1) y offsets
+
+    def hist_chunk(args):
+        lay, yy, xx, xo, yo, rad, edenom, vmask = args
+        patches = gather_patches(padded, lay, yy, xx, r_max)
+        dx = patches[:, 1:-1, 2:] - patches[:, 1:-1, :-2]
+        dy = patches[:, :-2, 1:-1] - patches[:, 2:, 1:-1]
+        magnitude = jnp.sqrt(dx * dx + dy * dy)
+        angle = jnp.arctan2(dy, dx)
+        w_exp = jnp.exp(
+            -(ig * ig + jg * jg).astype(dtype)[None] / edenom[:, None, None]
+        )
+        in_radius = (jnp.abs(ig) <= rad[:, None, None]) & (
+            jnp.abs(jg) <= rad[:, None, None]
+        )
+        in_img = (
+            (xo[:, None, None] + ig - 1 >= 0)
+            & (xo[:, None, None] + ig + 1 <= width - 1)
+            & (yo[:, None, None] + jg - 1 >= 0)
+            & (yo[:, None, None] + jg + 1 <= height - 1)
+        )
+        mask = in_radius & in_img & vmask[:, None, None]
+        h_idx = round_half_away(nb * (angle + math.pi) / M_PI2).astype(jnp.int32)
+        h_idx = jnp.where(h_idx < nb, h_idx, 0)  # src/sift.cpp:490
+        contrib = jnp.where(mask, w_exp * magnitude, jnp.asarray(0, dtype))
+        onehot = (h_idx[..., None] == jnp.arange(nb)).astype(dtype)
+        return jnp.einsum("nij,nijb->nb", contrib, onehot)
+
+    chunk = min(ORI_CHUNK, n)
+    nchunk = -(-n // chunk)
+    pad_n = nchunk * chunk - n
+
+    def chunked(a):
+        if pad_n:
+            a = jnp.concatenate([a, jnp.zeros((pad_n,) + a.shape[1:], a.dtype)])
+        return a.reshape((nchunk, chunk) + a.shape[1:])
+
+    hist = jax.lax.map(
+        hist_chunk,
+        (
+            chunked(layer_c), chunked(yc), chunked(xc), chunked(x), chunked(y),
+            chunked(radius), chunked(exp_denom), chunked(kp.valid),
+        ),
+    ).reshape(nchunk * chunk, nb)[:n]
+
+    # In-place circular smoothing, twice (src/sift.cpp:496-504).
+    for _ in range(ORI_SMOOTH_ITERATIONS):
+        for i in range(nb):
+            h0 = hist[:, (i - 1) % nb]
+            h1 = hist[:, i]
+            h2 = hist[:, (i + 1) % nb]
+            hist = hist.at[:, i].set(0.25 * h0 + 0.5 * h1 + 0.25 * h2)
+
+    # Peak detection + parabolic interpolation (src/sift.cpp:506-518).
+    max_peak = jnp.max(hist, axis=1)
+    h0 = jnp.roll(hist, 1, axis=1)
+    h2 = jnp.roll(hist, -1, axis=1)
+    is_peak = (hist > h0) & (hist > h2) & (hist > cfg.peak_ratio * max_peak[:, None])
+
+    bin_i = jnp.arange(nb, dtype=dtype)[None, :]
+    denom = (h0 - 2 * hist) + h2
+    denom_safe = jnp.where(denom == 0, jnp.asarray(1, dtype), denom)
+    interp = bin_i + 0.5 * (h0 - h2) / denom_safe
+    interp = jnp.fmod(interp + nb, float(nb))
+    ori = M_PI2 * interp / nb
+    ori = jnp.fmod(ori + M_PI2, M_PI2)
+
+    halve = jnp.asarray(0.5 if cfg.double_image_size else 1.0, dtype)
+    cand_valid = (kp.valid[:, None] & is_peak).reshape(-1)
+
+    def rep(a):
+        return jnp.repeat(a, nb, axis=0)
+
+    return Keypoints(
+        x=rep(kp.x * halve),
+        y=rep(kp.y * halve),
+        octave=rep(kp.octave),
+        layer=rep(kp.layer),
+        size=rep(kp.size * halve),
+        pori=ori.reshape(-1),
+        desc=jnp.zeros((n * nb, 128), jnp.uint8),
+        valid=cand_valid,
+    )

@@ -1,0 +1,64 @@
+"""Gaussian / DoG pyramid construction.
+
+TPU-native rebuild of the reference pipeline stages:
+  - compute_initial_image  (src/sift.cpp:113-126)
+  - compute_gaussian_octave/images (src/sift.cpp:161-202)
+  - compute_dog_images     (src/sift.cpp:209-225)
+
+Octave shapes differ, so the octave loop is unrolled at trace time (octave
+count is a host-side function of the input dims).  Within an octave the
+gaussian images are stacked (S+3, H, W) so downstream stages can
+dynamically index by layer.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from sift_tpu.config import SiftConfig
+from sift_tpu.ops.blur import separable_blur
+from sift_tpu.ops.color import to_grayscale
+from sift_tpu.ops.resize import downsample_nearest_x2, upsample_bilinear
+from sift_tpu.config import gaussian_half_kernel
+
+
+def compute_initial_image(img: jnp.ndarray, cfg: SiftConfig) -> jnp.ndarray:
+    """Grayscale -> optional 2x bilinear upsample -> blur sqrt(sigma^2 - 1).
+
+    Matches src/sift.cpp:113-126 including the quirk that the sqrt(sigma^2-1)
+    pre-blur is applied whether or not the image was doubled.
+    """
+    gray = to_grayscale(img).astype(cfg.dtype)
+    if cfg.double_image_size:
+        gray = upsample_bilinear(gray, 2, 2)
+    sigma = math.sqrt(cfg.init_sigma * cfg.init_sigma - 1)
+    return separable_blur(gray, gaussian_half_kernel(sigma))
+
+
+def build_pyramids(
+    initial: jnp.ndarray, cfg: SiftConfig, octaves: int
+) -> tuple[list[jnp.ndarray], list[jnp.ndarray]]:
+    """Returns (gaussians, dogs): per octave, stacked (S+3, H_o, W_o) gaussian
+    images and (S+2, H_o, W_o) DoG images.
+
+    Incremental blurring per src/sift.cpp:161-174; next octave seeds from the
+    2-sigma layer (index ``intervals``) downsampled by nearest-neighbor
+    (src/sift.cpp:195-196).
+    """
+    kernels = cfg.gaussian_kernels()
+    half_kernels = [gaussian_half_kernel(s) for s in kernels]
+
+    gaussians: list[jnp.ndarray] = []
+    dogs: list[jnp.ndarray] = []
+    img = initial
+    for _ in range(octaves):
+        layers = [img]
+        for i in range(1, len(kernels)):
+            layers.append(separable_blur(layers[-1], half_kernels[i]))
+        g = jnp.stack(layers)
+        gaussians.append(g)
+        dogs.append(g[1:] - g[:-1])  # src/sift.cpp:217 (img[i+1] - img[i])
+        img = downsample_nearest_x2(layers[len(kernels) - 3])
+    return gaussians, dogs

@@ -1,0 +1,56 @@
+"""Resampling ops.
+
+TPU-native rebuild of the reference's resizes:
+  - ``downsample_nearest_x2``: exact 2x decimation taking pixel (2i, 2j)
+    (/root/reference/src/image.cpp:41-55), used for octave downsampling.
+  - ``upsample_bilinear``: integer-factor bilinear upsample with the
+    reference's edge clamp and interpolation order
+    (/root/reference/src/image.cpp:62-88), used for the initial 2x doubling.
+
+Both are pure gather/affine ops; XLA fuses them with neighbors.  Arrays are
+(..., H, W) with y = row, x = column (the reference indexes (x, y)).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def downsample_nearest_x2(img: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, W) -> (..., H//2, W//2), out[j, i] = img[2j, 2i]."""
+    h, w = img.shape[-2], img.shape[-1]
+    return img[..., 0 : (h // 2) * 2 : 2, 0 : (w // 2) * 2 : 2]
+
+
+def upsample_bilinear(img: jnp.ndarray, fx: int, fy: int) -> jnp.ndarray:
+    """Integer-factor bilinear upsample, bit-matching src/image.cpp:62-88.
+
+    out[j, i] interpolates img at (x, y) = (i/fx, j/fy) with x0 = trunc(x),
+    x1 = min(x0+1, W-1) edge clamp, and the exact lerp order
+    v0 = v00*(1-dx) + v10*dx; v1 = ...; v = v0*(1-dy) + v1*dy.
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    dtype = img.dtype
+
+    xi = jnp.arange(w * fx)
+    yi = jnp.arange(h * fy)
+    x = xi.astype(dtype) / jnp.asarray(fx, dtype)
+    y = yi.astype(dtype) / jnp.asarray(fy, dtype)
+    x0 = x.astype(jnp.int32)
+    y0 = y.astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    dx = x - x0.astype(dtype)
+    dy = y - y0.astype(dtype)
+
+    v00 = img[..., y0[:, None], x0[None, :]]
+    v01 = img[..., y1[:, None], x0[None, :]]
+    v10 = img[..., y0[:, None], x1[None, :]]
+    v11 = img[..., y1[:, None], x1[None, :]]
+
+    one = jnp.asarray(1, dtype)
+    dxr = dx[None, :]
+    dyr = dy[:, None]
+    v0 = v00 * (one - dxr) + v10 * dxr
+    v1 = v01 * (one - dxr) + v11 * dxr
+    return v0 * (one - dyr) + v1 * dyr

@@ -1,0 +1,107 @@
+"""Fixed-capacity keypoint buffers (struct-of-arrays) with validity masks.
+
+The reference's ``std::vector<Keypoint>`` (src/sift.hh:15-53) becomes a
+pytree of parallel arrays so every stage has static shapes under jit.  Invalid
+lanes carry ``valid == False`` and poisoned sort keys.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Keypoints:
+    """Struct-of-arrays keypoint set, capacity N.
+
+    Fields mirror the reference Keypoint (src/sift.hh:15-23):
+      x, y   : continuous input-image coordinates
+      octave : octave index
+      layer  : DoG/gaussian layer index within the octave
+      size   : keypoint scale
+      pori   : principal orientation in [0, 2*pi)
+      desc   : uint8[128] descriptor
+      valid  : lane mask (TPU-specific)
+    """
+
+    x: jnp.ndarray
+    y: jnp.ndarray
+    octave: jnp.ndarray
+    layer: jnp.ndarray
+    size: jnp.ndarray
+    pori: jnp.ndarray
+    desc: jnp.ndarray
+    valid: jnp.ndarray
+
+    @property
+    def capacity(self) -> int:
+        return self.x.shape[-1]
+
+    def count(self) -> jnp.ndarray:
+        return jnp.sum(self.valid.astype(jnp.int32), axis=-1)
+
+    @staticmethod
+    def empty(n: int, dtype=jnp.float32) -> "Keypoints":
+        f = jnp.zeros((n,), dtype)
+        i = jnp.zeros((n,), jnp.int32)
+        return Keypoints(
+            x=f, y=f, octave=i, layer=i, size=f, pori=f,
+            desc=jnp.zeros((n, 128), jnp.uint8),
+            valid=jnp.zeros((n,), bool),
+        )
+
+    def to_numpy(self) -> dict[str, np.ndarray]:
+        """Host-side dense export: drops invalid lanes."""
+        valid = np.asarray(self.valid)
+        out = {}
+        for name in ("x", "y", "octave", "layer", "size", "pori"):
+            out[name] = np.asarray(getattr(self, name))[valid]
+        out["desc"] = np.asarray(self.desc)[valid]
+        return out
+
+
+def concatenate(kps: list[Keypoints]) -> Keypoints:
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *kps)
+
+
+def sort_and_dedup(kp: Keypoints) -> Keypoints:
+    """clean_keypoints (src/sift.cpp:20-24): sort + unique.
+
+    Sort key (src/sift.hh:31-41): x asc, y asc, size DESC, pori asc,
+    octave DESC.  Equality for dedup ignores octave/layer (src/sift.hh:25-27).
+    Invalid lanes sort to the end via +inf x.
+    """
+    big = jnp.asarray(jnp.inf, kp.x.dtype)
+    x = jnp.where(kp.valid, kp.x, big)
+    y = jnp.where(kp.valid, kp.y, big)
+    size_neg = jnp.where(kp.valid, -kp.size, big)
+    pori = jnp.where(kp.valid, kp.pori, big)
+    oct_neg = jnp.where(kp.valid, -kp.octave, 2**30)
+
+    # jnp.lexsort: last key is the primary one.
+    order = jnp.lexsort((oct_neg, pori, size_neg, y, x))
+    kp = jax.tree.map(lambda a: jnp.take(a, order, axis=0), kp)
+
+    same = (
+        (kp.x == jnp.roll(kp.x, 1))
+        & (kp.y == jnp.roll(kp.y, 1))
+        & (kp.size == jnp.roll(kp.size, 1))
+        & (kp.pori == jnp.roll(kp.pori, 1))
+    )
+    same = same.at[0].set(False)
+    keep = kp.valid & ~same
+    return dataclasses.replace(kp, valid=keep)
+
+
+def compact(kp: Keypoints, out_cap: int) -> Keypoints:
+    """Pack valid lanes to the front of a (possibly smaller) buffer."""
+    idx = jnp.nonzero(kp.valid, size=out_cap, fill_value=kp.capacity)[0]
+    in_range = idx < kp.capacity
+    idx = jnp.minimum(idx, kp.capacity - 1)
+    out = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), kp)
+    return dataclasses.replace(out, valid=out.valid & in_range)

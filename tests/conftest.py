@@ -1,0 +1,25 @@
+"""Test harness: CPU backend with 8 virtual devices + x64 for parity tests.
+
+Multi-chip sharding tests use the standard JAX trick of simulating an
+N-device mesh on CPU (same code path as real ICI); parity tests need f64 to
+match the C++ reference bit-for-bit.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+# XLA-CPU compiles are slow on this machine; cache compiled executables
+# across test runs.
+os.makedirs("/root/.cache/jax_test_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
