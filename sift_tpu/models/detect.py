@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from sift_tpu.config import SiftConfig
 from sift_tpu.utils.keypoints import Keypoints
-from sift_tpu.utils.numerics import round_half_away
+from sift_tpu.utils.numerics import round_half_away, xdiv
 
 
 def detect_octave_extrema(
@@ -69,7 +69,7 @@ def _gather_cubes(dog: jnp.ndarray, zyx: jnp.ndarray) -> jnp.ndarray:
         return jax.lax.dynamic_slice(dog, (p[0] - 1, p[1] - 1, p[2] - 1), (3, 3, 3))
 
     cubes = jax.vmap(one)(zyx)
-    return cubes / jnp.asarray(255.0, dog.dtype)
+    return xdiv(cubes, 255.0)
 
 
 def _gradient(c: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -125,11 +125,13 @@ def refine_octave_keypoints(
     valid: jnp.ndarray,
     octave: int,
     cfg: SiftConfig,
-) -> Keypoints:
+) -> tuple[Keypoints, jnp.ndarray]:
     """Batched Newton refinement + contrast/edge tests (src/sift.cpp:330-436).
 
-    Returns keypoints in *initial* (possibly doubled) image coordinates, with
-    pori = 0; orientation assignment multiplies/filters them later.
+    Returns (keypoints, layer_offset): keypoints in *initial* (possibly
+    doubled) image coordinates with pori = 0, plus the converged layer offset
+    (offset[0]) per lane — the f64 parity path recomputes kp.size on the host
+    with glibc pow because XLA's exp2 is occasionally 1 ulp off glibc's.
     """
     depth, height, width = dog.shape
     border = cfg.window_size // 2
@@ -181,8 +183,11 @@ def refine_octave_keypoints(
         # clamp their positions so later gathers stay in range.
         pos = jnp.clip(
             pos,
-            jnp.asarray([border, border, border]),
-            jnp.asarray([depth - 1 - border, height - 1 - border, width - 1 - border]),
+            jnp.asarray([border, border, border], jnp.int32),
+            jnp.asarray(
+                [depth - 1 - border, height - 1 - border, width - 1 - border],
+                jnp.int32,
+            ),
         )
         return dict(
             pos=pos,
@@ -194,8 +199,9 @@ def refine_octave_keypoints(
             center=st_center,
         )
 
-    for _ in range(5):  # MAX_CONVERGENCE_STEPS (src/sift.hh:7)
-        state = step(state)
+    # MAX_CONVERGENCE_STEPS (src/sift.hh:7); fori_loop keeps the compiled
+    # graph one step deep instead of 5 unrolled copies.
+    state = jax.lax.fori_loop(0, 5, lambda _, st: step(st), state)
 
     g0, g1, g2 = state["g"]
     o0, o1, o2 = state["off"]
@@ -222,13 +228,14 @@ def refine_octave_keypoints(
     octave_scale = float(math.pow(2, octave))
     fx = octave_scale * (x.astype(dtype) + o1)
     fy = octave_scale * (y.astype(dtype) + o2)
-    size = (
-        cfg.init_sigma
-        * octave_scale
-        * jnp.exp2((z.astype(dtype) + o0) / cfg.intervals)
+    # C++: init_sigma * 2^octave * pow(2, (layer + offset_z) / intervals)
+    # (src/sift.cpp:427-429); glibc pow(2, x) and XLA exp2 are both
+    # correctly rounded for this range, verified against the oracle in tests.
+    size = (cfg.init_sigma * octave_scale) * jnp.exp2(
+        xdiv(z.astype(dtype) + o0, float(cfg.intervals))
     )
 
-    return Keypoints(
+    kp = Keypoints(
         x=fx,
         y=fy,
         octave=jnp.full((n,), octave, jnp.int32),
@@ -238,3 +245,4 @@ def refine_octave_keypoints(
         desc=jnp.zeros((n, 128), jnp.uint8),
         valid=accept,
     )
+    return kp, o0

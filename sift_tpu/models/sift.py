@@ -39,7 +39,7 @@ def detect_fn(img: jnp.ndarray, cfg: SiftConfig, octaves: int) -> Keypoints:
         zyx, valid = detect_octave_extrema(
             dogs[o], threshold, cfg.extrema_cap_for_octave(o), cfg.window_size
         )
-        kp = refine_octave_keypoints(dogs[o], zyx, valid, o, cfg)
+        kp, _ = refine_octave_keypoints(dogs[o], zyx, valid, o, cfg)
         kp = kputil.compact(kp, cfg.kp_cap_for_octave(o))
         cand = orient_octave_keypoints(gaussians[o], kp, o, cfg)
         oriented.append(kputil.compact(cand, 2 * cfg.kp_cap_for_octave(o)))
@@ -67,6 +67,104 @@ def detect_fn(img: jnp.ndarray, cfg: SiftConfig, octaves: int) -> Keypoints:
 @partial(jax.jit, static_argnums=(1, 2))
 def _detect_jit(img, cfg: SiftConfig, octaves: int) -> Keypoints:
     return detect_fn(img, cfg, octaves)
+
+
+# --- per-stage jitted helpers (compiled + persistently cached separately,
+# so tests and debugging don't pay for one huge fused compile) ---
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _jit_pyramids(img, cfg: SiftConfig, octaves: int):
+    initial = compute_initial_image(img, cfg)
+    gaussians, dogs = build_pyramids(initial, cfg, octaves)
+    return initial, gaussians, dogs
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _jit_octave_extrema(dog, cfg: SiftConfig, octave: int):
+    return detect_octave_extrema(
+        dog, cfg.extremum_threshold(), cfg.extrema_cap_for_octave(octave),
+        cfg.window_size,
+    )
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _jit_octave_refine(dog, zyx, valid, cfg: SiftConfig, octave: int):
+    kp, off0 = refine_octave_keypoints(dog, zyx, valid, octave, cfg)
+    return kputil.compact(kp, cfg.kp_cap_for_octave(octave), extra=off0)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _jit_octave_orient(gauss, kp, cfg: SiftConfig, octave: int):
+    cand = orient_octave_keypoints(gauss, kp, octave, cfg)
+    return kputil.compact(cand, 2 * cfg.kp_cap_for_octave(octave))
+
+
+@partial(jax.jit)
+def _jit_dedup(allkp):
+    return kputil.sort_and_dedup(allkp)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _jit_octave_descriptors(gauss, allkp, cfg: SiftConfig, octave: int):
+    n = allkp.capacity
+    sel = allkp.valid & (allkp.octave == octave)
+    cap_o = 2 * cfg.kp_cap_for_octave(octave)
+    idx = jnp.nonzero(sel, size=cap_o, fill_value=n)[0]
+    in_range = idx < n
+    idx_c = jnp.minimum(idx, n - 1)
+    sub = jax.tree.map(lambda a: jnp.take(a, idx_c, axis=0), allkp)
+    sub = dataclasses.replace(sub, valid=sub.valid & in_range)
+    desc = compute_octave_descriptors(gauss, sub, octave, cfg)
+    return allkp.desc.at[idx].set(desc, mode="drop")
+
+
+def _host_exact_sizes(kp: Keypoints, off0, octave: int, cfg: SiftConfig) -> Keypoints:
+    """Recompute kp.size with glibc pow for bit-parity (src/sift.cpp:427-429).
+
+    XLA's exp2 deviates from glibc pow(2, x) by 1 ulp on ~30% of inputs; the
+    f64 parity profile fixes sizes on the host.  Identical math otherwise.
+    """
+    import math
+
+    size = np.asarray(kp.size).copy()
+    layer = np.asarray(kp.layer)
+    off = np.asarray(off0)
+    valid = np.asarray(kp.valid)
+    scale = cfg.init_sigma * math.pow(2, octave)
+    for i in np.nonzero(valid)[0]:
+        size[i] = scale * math.pow(
+            2, (float(layer[i]) + float(off[i])) / cfg.intervals
+        )
+    return dataclasses.replace(kp, size=jnp.asarray(size))
+
+
+def detect_stages(img, cfg: SiftConfig, octaves: int) -> dict:
+    """Debug/parity view: every pipeline stage for one image.
+
+    Runs stage-by-stage through individually jitted (and persistently cached)
+    helpers.  Mirrors the stage boundaries of src/sift.cpp:712-776.
+    """
+    initial, gaussians, dogs = _jit_pyramids(img, cfg, octaves)
+    out = dict(initial=initial, gaussians=gaussians, dogs=dogs,
+               extrema=[], refined=[], oriented=[])
+    parity = jnp.dtype(cfg.dtype) == jnp.float64
+    for o in range(octaves):
+        zyx, valid = _jit_octave_extrema(dogs[o], cfg, o)
+        out["extrema"].append((zyx, valid))
+        kp, off0 = _jit_octave_refine(dogs[o], zyx, valid, cfg, o)
+        if parity:
+            kp = _host_exact_sizes(kp, off0, o, cfg)
+        out["refined"].append(kp)
+        out["oriented"].append(_jit_octave_orient(gaussians[o], kp, cfg, o))
+    allkp = _jit_dedup(kputil.concatenate(out["oriented"]))
+    desc_all = allkp.desc
+    for o in range(octaves):
+        desc_all = _jit_octave_descriptors(
+            gaussians[o], dataclasses.replace(allkp, desc=desc_all), cfg, o
+        )
+    out["final"] = dataclasses.replace(allkp, desc=desc_all)
+    return out
 
 
 def detect_and_describe(image, cfg: SiftConfig | None = None) -> Keypoints:

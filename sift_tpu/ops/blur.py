@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sift_tpu.config import gaussian_half_kernel, half_kernel_weight_sum
+from sift_tpu.utils.numerics import xdiv, xmul
 
 
 def _shift_clamped(img: jnp.ndarray, u: int, axis: int) -> jnp.ndarray:
@@ -45,12 +46,12 @@ def separable_blur(img: jnp.ndarray, half_kernel: list[float]) -> jnp.ndarray:
     sum_w = jnp.asarray(half_kernel_weight_sum(half_kernel), dtype)
 
     def one_axis(a: jnp.ndarray, axis: int) -> jnp.ndarray:
-        result = a * k[0]
+        result = xmul(a, k[0])
         for u in range(1, len(k)):
-            result = result + k[u] * (
-                _shift_clamped(a, u, axis) + _shift_clamped(a, -u, axis)
+            result = result + xmul(
+                k[u], _shift_clamped(a, u, axis) + _shift_clamped(a, -u, axis)
             )
-        return result / sum_w
+        return xdiv(result, sum_w)
 
     tmp = one_axis(img, -1)  # horizontal pass (x)
     return one_axis(tmp, -2)  # vertical pass (y)

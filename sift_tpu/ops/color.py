@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from sift_tpu.utils.numerics import xmul
+
 
 def to_grayscale(img: jnp.ndarray) -> jnp.ndarray:
     """(..., H, W, C) -> (..., H, W) BT.709 luma; pass-through if C == 1.
@@ -23,4 +25,4 @@ def to_grayscale(img: jnp.ndarray) -> jnp.ndarray:
     g = img[..., 1]
     b = img[..., 2]
     # C++ evaluation order: (0.2126*r + 0.7152*g) + 0.0722*b
-    return (0.2126 * r + 0.7152 * g) + 0.0722 * b
+    return (xmul(0.2126, r) + xmul(0.7152, g)) + xmul(0.0722, b)

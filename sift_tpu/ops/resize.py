@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from sift_tpu.utils.numerics import xmul
+
 
 def downsample_nearest_x2(img: jnp.ndarray) -> jnp.ndarray:
     """(..., H, W) -> (..., H//2, W//2), out[j, i] = img[2j, 2i]."""
@@ -51,6 +53,6 @@ def upsample_bilinear(img: jnp.ndarray, fx: int, fy: int) -> jnp.ndarray:
     one = jnp.asarray(1, dtype)
     dxr = dx[None, :]
     dyr = dy[:, None]
-    v0 = v00 * (one - dxr) + v10 * dxr
-    v1 = v01 * (one - dxr) + v11 * dxr
-    return v0 * (one - dyr) + v1 * dyr
+    v0 = xmul(v00, one - dxr) + xmul(v10, dxr)
+    v1 = xmul(v01, one - dxr) + xmul(v11, dxr)
+    return xmul(v0, one - dyr) + xmul(v1, dyr)

@@ -98,10 +98,22 @@ def sort_and_dedup(kp: Keypoints) -> Keypoints:
     return dataclasses.replace(kp, valid=keep)
 
 
-def compact(kp: Keypoints, out_cap: int) -> Keypoints:
-    """Pack valid lanes to the front of a (possibly smaller) buffer."""
-    idx = jnp.nonzero(kp.valid, size=out_cap, fill_value=kp.capacity)[0]
-    in_range = idx < kp.capacity
-    idx = jnp.minimum(idx, kp.capacity - 1)
+def compact_indices(valid: jnp.ndarray, out_cap: int):
+    """Indices packing valid lanes front-first: (idx, in_range)."""
+    n = valid.shape[0]
+    idx = jnp.nonzero(valid, size=out_cap, fill_value=n)[0]
+    in_range = idx < n
+    return jnp.minimum(idx, n - 1), in_range
+
+
+def compact(kp: Keypoints, out_cap: int, extra=None):
+    """Pack valid lanes to the front of a (possibly smaller) buffer.
+
+    ``extra``: optional pytree of per-lane arrays compacted alongside.
+    """
+    idx, in_range = compact_indices(kp.valid, out_cap)
     out = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), kp)
-    return dataclasses.replace(out, valid=out.valid & in_range)
+    out = dataclasses.replace(out, valid=out.valid & in_range)
+    if extra is None:
+        return out
+    return out, jax.tree.map(lambda a: jnp.take(a, idx, axis=0), extra)

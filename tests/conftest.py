@@ -10,12 +10,21 @@ import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+# Bit-parity with the C++ oracle: XLA CPU's fusion emitter contracts mul+add
+# chains through llvm.fmuladd, changing the last ulp vs the reference build
+# (no FMA at baseline x86-64).  Disabling the fusion pass restores separate
+# roundings; together with sift_tpu.utils.numerics.xdiv (true division) the
+# f64 pipeline reproduces the oracle bit-for-bit.
+if "xla_disable_hlo_passes" not in flags:
+    flags += " --xla_disable_hlo_passes=fusion"
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax
 
+# The environment pins JAX_PLATFORMS=axon (remote TPU tunnel); the config
+# update below is the only override that sticks.  Tests run on real local CPU.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # XLA-CPU compiles are slow on this machine; cache compiled executables

@@ -1,0 +1,39 @@
+"""Convert oracle harness binary dumps to .npz fixtures."""
+
+from __future__ import annotations
+
+import struct
+import sys
+
+import numpy as np
+
+_DTYPES = {"d": np.float64, "i": np.int32, "B": np.uint8, "q": np.int64}
+
+
+def read_dump(path: str) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    with open(path, "rb") as f:
+        while True:
+            head = f.read(4)
+            if len(head) < 4:
+                break
+            (name_len,) = struct.unpack("<I", head)
+            name = f.read(name_len).decode()
+            dtype = _DTYPES[f.read(1).decode()]
+            (ndim,) = struct.unpack("<I", f.read(4))
+            dims = struct.unpack(f"<{ndim}q", f.read(8 * ndim))
+            total = int(np.prod(dims)) if ndim else 1
+            data = np.frombuffer(
+                f.read(total * np.dtype(dtype).itemsize), dtype=dtype
+            )
+            out[name] = data.reshape(dims)
+    return out
+
+
+if __name__ == "__main__":
+    src, dst = sys.argv[1], sys.argv[2]
+    arrays = read_dump(src)
+    np.savez_compressed(dst, **arrays)
+    print(f"{dst}: {len(arrays)} arrays")
+    for k, v in list(arrays.items())[:12]:
+        print(" ", k, v.shape, v.dtype)
