@@ -1,0 +1,330 @@
+"""Homography estimation + panorama stitching.
+
+Rebuild of the reference's stitching workflow, whose notebook
+(stitching/sift_stitch.ipynb) is missing from the mount
+(/root/reference/.MISSING_LARGE_BLOBS:3); behavior is reconstructed from
+README.md:5, the result panoramas (stitching/results/scene_*_stit.png) and
+the per-scene STITCH-GRAPH files: ratio-test matching along graph edges,
+RANSAC homography per edge, chaining toward the center image (with its
+rotation angle), then warp + blend onto a common canvas.
+
+TPU-first design notes:
+  - RANSAC is a *fixed batch* of K hypotheses solved simultaneously (sample
+    K x 4 correspondences, batched DLT via SVD, vectorized inlier counting,
+    argmax) instead of the classic adaptive loop — statistically equivalent
+    at K ~ 2-4k and embarrassingly parallel on the MXU.
+  - Warping inverse-maps every canvas pixel through the per-image homography
+    and bilinear-samples with feather-weighted accumulation — one fused
+    gather/FMA program per image.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# Homography estimation
+# --------------------------------------------------------------------------
+
+
+def _dlt_matrix(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
+    """DLT rows for correspondences p1 -> p2: (..., N, 2) -> (..., 2N, 9)."""
+    x, y = p1[..., 0], p1[..., 1]
+    u, v = p2[..., 0], p2[..., 1]
+    z = jnp.zeros_like(x)
+    o = jnp.ones_like(x)
+    r1 = jnp.stack([-x, -y, -o, z, z, z, u * x, u * y, u], axis=-1)
+    r2 = jnp.stack([z, z, z, -x, -y, -o, v * x, v * y, v], axis=-1)
+    return jnp.concatenate([r1, r2], axis=-2)
+
+
+def _solve_h(a: jnp.ndarray) -> jnp.ndarray:
+    """Null vector of (..., M, 9) via SVD -> (..., 3, 3) homography."""
+    _, _, vt = jnp.linalg.svd(a, full_matrices=True)
+    h = vt[..., -1, :]
+    return h.reshape(*h.shape[:-1], 3, 3)
+
+
+def _apply_h(h: jnp.ndarray, pts: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """(..., 3, 3) x (..., N, 2) -> (..., N, 2) projective transform."""
+    ones = jnp.ones_like(pts[..., :1])
+    ph = jnp.concatenate([pts, ones], axis=-1)
+    out = jnp.einsum("...ij,...nj->...ni", h, ph)
+    w = out[..., 2:3]
+    w = jnp.where(jnp.abs(w) < eps, eps, w)
+    return out[..., :2] / w
+
+
+@partial(jax.jit, static_argnums=(3,))
+def ransac_homography(
+    pts1: jnp.ndarray,
+    pts2: jnp.ndarray,
+    valid: jnp.ndarray,
+    num_hypotheses: int = 2048,
+    inlier_threshold: float = 3.0,
+    seed: int = 0,
+):
+    """Estimate H mapping pts1 -> pts2 with batched-hypothesis RANSAC.
+
+    Returns (H (3,3), inlier_mask (N,), num_inliers ()).  All shapes static:
+    pts are fixed-capacity buffers with a validity mask.
+    """
+    n = pts1.shape[0]
+    dtype = pts1.dtype
+    key = jax.random.PRNGKey(seed)
+
+    # Hartley normalization for numerical conditioning.
+    nvalid = jnp.maximum(jnp.sum(valid), 1)
+    vf = valid.astype(dtype)[:, None]
+
+    def normalize(p):
+        mean = jnp.sum(p * vf, axis=0) / nvalid
+        d = jnp.sqrt(jnp.sum((p - mean) ** 2, axis=1))
+        scale = math.sqrt(2.0) / jnp.maximum(jnp.sum(d * vf[:, 0]) / nvalid, 1e-8)
+        t = jnp.array(
+            [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], dtype
+        )
+        t = t.at[0, 0].set(scale).at[1, 1].set(scale)
+        t = t.at[0, 2].set(-scale * mean[0]).at[1, 2].set(-scale * mean[1])
+        return (p - mean) * scale, t
+
+    p1n, t1 = normalize(pts1)
+    p2n, t2 = normalize(pts2)
+
+    # Sample K x 4 valid correspondences (with replacement across hypotheses).
+    probs = valid.astype(jnp.float32)
+    probs = probs / jnp.maximum(probs.sum(), 1.0)
+    idx = jax.random.choice(
+        key, n, shape=(num_hypotheses, 4), replace=True, p=probs
+    )
+    s1 = p1n[idx]  # (K, 4, 2)
+    s2 = p2n[idx]
+
+    a = _dlt_matrix(s1, s2)  # (K, 8, 9)
+    h = _solve_h(a)  # (K, 3, 3) in normalized space
+
+    # Inlier counting in original pixel space: H_px = T2^-1 H T1.
+    t2inv = jnp.linalg.inv(t2)
+    h_px = jnp.einsum("ij,kjl,lm->kim", t2inv, h, t1)
+    proj = _apply_h(h_px, pts1[None, :, :])  # (K, N, 2)
+    err2 = jnp.sum((proj - pts2[None, :, :]) ** 2, axis=-1)
+    inl = (err2 < inlier_threshold * inlier_threshold) & valid[None, :]
+    counts = jnp.sum(inl, axis=1)
+    best = jnp.argmax(counts)
+
+    inlier_mask = inl[best]
+
+    # Final least-squares refit on all inliers (masked DLT rows).
+    w = inlier_mask.astype(dtype)
+    a_all = _dlt_matrix(p1n, p2n) * jnp.repeat(w, 2)[:, None]
+    h_ref = _solve_h(a_all)
+    h_ref_px = t2inv @ h_ref @ t1
+
+    # Fall back to the best sample hypothesis if the refit is degenerate.
+    proj_r = _apply_h(h_ref_px[None], pts1[None, :, :])[0]
+    err2_r = jnp.sum((proj_r - pts2) ** 2, axis=-1)
+    inl_r = (err2_r < inlier_threshold * inlier_threshold) & valid
+    use_refit = jnp.sum(inl_r) >= counts[best]
+    h_out = jnp.where(use_refit, h_ref_px, h_px[best])
+    inlier_out = jnp.where(use_refit, inl_r, inlier_mask)
+    h_out = h_out / jnp.where(jnp.abs(h_out[2, 2]) < 1e-12, 1.0, h_out[2, 2])
+    return h_out, inlier_out, jnp.sum(inlier_out)
+
+
+# --------------------------------------------------------------------------
+# Warping and blending
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def warp_accumulate(
+    image: jnp.ndarray,
+    h_inv: jnp.ndarray,
+    out_h: int,
+    out_w: int,
+):
+    """Inverse-warp one (H, W, C) image onto an (out_h, out_w) canvas.
+
+    Returns (weighted_rgb (out_h, out_w, C), weight (out_h, out_w)) with a
+    feather weight (normalized distance to the image border) for seamless
+    multi-image blending.
+    """
+    h, w = image.shape[0], image.shape[1]
+    dtype = image.dtype
+
+    ys, xs = jnp.meshgrid(
+        jnp.arange(out_h, dtype=dtype), jnp.arange(out_w, dtype=dtype),
+        indexing="ij",
+    )
+    pts = jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1)
+    src = _apply_h(h_inv[None], pts[None])[0]
+    sx, sy = src[:, 0], src[:, 1]
+
+    inside = (sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1)
+    x0 = jnp.clip(jnp.floor(sx), 0, w - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(sy), 0, h - 1).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fx = sx - x0.astype(dtype)
+    fy = sy - y0.astype(dtype)
+
+    def sample(yi, xi):
+        return image[yi, xi]
+
+    v00 = sample(y0, x0)
+    v01 = sample(y0, x1)
+    v10 = sample(y1, x0)
+    v11 = sample(y1, x1)
+    fxc = fx[:, None]
+    fyc = fy[:, None]
+    val = (
+        v00 * (1 - fxc) * (1 - fyc)
+        + v01 * fxc * (1 - fyc)
+        + v10 * (1 - fxc) * fyc
+        + v11 * fxc * fyc
+    )
+
+    # Feather: product of normalized distances to the four borders.
+    dx = jnp.minimum(sx, w - 1 - sx) / ((w - 1) * 0.5)
+    dy = jnp.minimum(sy, h - 1 - sy) / ((h - 1) * 0.5)
+    weight = jnp.clip(dx, 0, 1) * jnp.clip(dy, 0, 1) + 1e-6
+    weight = jnp.where(inside, weight, 0.0)
+
+    acc = val * weight[:, None]
+    return (
+        acc.reshape(out_h, out_w, image.shape[2]),
+        weight.reshape(out_h, out_w),
+    )
+
+
+def blend_warped(
+    images: list[np.ndarray], homographies: list[np.ndarray]
+) -> np.ndarray:
+    """Warp every image through its canvas homography and feather-blend.
+
+    ``homographies[i]`` maps image i pixel coords -> common frame.  The canvas
+    bounds come from the warped corners (host-side: shapes are data).
+    """
+    corners = []
+    for img, h in zip(images, homographies):
+        hh, ww = img.shape[0], img.shape[1]
+        c = np.array(
+            [[0, 0], [ww - 1, 0], [0, hh - 1], [ww - 1, hh - 1]], np.float64
+        )
+        ch = np.concatenate([c, np.ones((4, 1))], axis=1) @ np.asarray(h).T
+        corners.append(ch[:, :2] / ch[:, 2:3])
+    corners = np.concatenate(corners, axis=0)
+    x_min, y_min = np.floor(corners.min(axis=0))
+    x_max, y_max = np.ceil(corners.max(axis=0))
+    out_w = int(x_max - x_min + 1)
+    out_h = int(y_max - y_min + 1)
+    t = np.array([[1, 0, -x_min], [0, 1, -y_min], [0, 0, 1]], np.float64)
+
+    acc = None
+    wacc = None
+    for img, h in zip(images, homographies):
+        h_canvas = t @ np.asarray(h)
+        h_inv = np.linalg.inv(h_canvas)
+        a, wgt = warp_accumulate(
+            jnp.asarray(img, jnp.float32), jnp.asarray(h_inv, jnp.float32),
+            out_h, out_w,
+        )
+        a = np.asarray(a)
+        wgt = np.asarray(wgt)
+        acc = a if acc is None else acc + a
+        wacc = wgt if wacc is None else wacc + wgt
+    return acc / np.maximum(wacc, 1e-8)[:, :, None]
+
+
+# --------------------------------------------------------------------------
+# Scene stitching driver
+# --------------------------------------------------------------------------
+
+
+def match_points(kp1, kp2, ratio_threshold: float = 0.75):
+    """Matched point buffers for RANSAC: ((N,2), (N,2), valid)."""
+    from sift_tpu.models.match import match_descriptors
+
+    idx, accept, _, _ = match_descriptors(
+        kp1.desc, kp1.valid, kp2.desc, kp2.valid, ratio_threshold
+    )
+    p1 = jnp.stack([kp1.x, kp1.y], axis=-1)
+    p2 = jnp.stack([kp2.x, kp2.y], axis=-1)[idx]
+    return p1, p2, accept
+
+
+def stitch_pair(img1, img2, cfg=None, num_hypotheses: int = 2048) -> np.ndarray:
+    """Two-image panorama (the reference's scene_1 workflow)."""
+    from sift_tpu import SiftConfig, detect_and_describe
+
+    cfg = cfg or SiftConfig()
+    kp1 = detect_and_describe(img1, cfg)
+    kp2 = detect_and_describe(img2, cfg)
+    p1, p2, ok = match_points(kp1, kp2, cfg.ratio_threshold)
+    h, _, n_inl = ransac_homography(p1, p2, ok, num_hypotheses)
+    eye = np.eye(3)
+    return blend_warped(
+        [np.asarray(img1, np.float32), np.asarray(img2, np.float32)],
+        [np.asarray(h, np.float64), eye],
+    )
+
+
+def stitch_scene(
+    images: list[np.ndarray],
+    graph,
+    cfg=None,
+    num_hypotheses: int = 2048,
+) -> np.ndarray:
+    """Multi-image panorama along a STITCH-GRAPH toward its center image."""
+    from sift_tpu import SiftConfig, detect_and_describe
+
+    cfg = cfg or SiftConfig()
+    kps = [detect_and_describe(img, cfg) for img in images]
+
+    parents = graph.bfs_parents()
+    h_edge: dict[tuple[int, int], np.ndarray] = {}
+    for i, parent in parents.items():
+        if i == graph.center_index:
+            continue
+        p1, p2, ok = match_points(kps[i], kps[parent], cfg.ratio_threshold)
+        h, _, n_inl = ransac_homography(p1, p2, ok, num_hypotheses)
+        h_edge[(i, parent)] = np.asarray(h, np.float64)
+
+    # Chain toward center: H_i->center = H_parent->center @ H_i->parent.
+    h_center: dict[int, np.ndarray] = {graph.center_index: np.eye(3)}
+
+    def resolve(i: int) -> np.ndarray:
+        if i in h_center:
+            return h_center[i]
+        parent = parents[i]
+        h = resolve(parent) @ h_edge[(i, parent)]
+        h_center[i] = h
+        return h
+
+    for i in parents:
+        resolve(i)
+
+    # Apply the center rotation about the center image's midpoint.
+    ang = graph.center_rotation
+    ci = graph.center_index
+    hh, ww = images[ci].shape[0], images[ci].shape[1]
+    cx, cy = (ww - 1) / 2.0, (hh - 1) / 2.0
+    c, s = math.cos(ang), math.sin(ang)
+    rot = (
+        np.array([[1, 0, cx], [0, 1, cy], [0, 0, 1]])
+        @ np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        @ np.array([[1, 0, -cx], [0, 1, -cy], [0, 0, 1]])
+    )
+
+    order = sorted(h_center)
+    return blend_warped(
+        [np.asarray(images[i], np.float32) for i in order],
+        [rot @ h_center[i] for i in order],
+    )
