@@ -69,6 +69,19 @@ def _detect_jit(img, cfg: SiftConfig, octaves: int) -> Keypoints:
     return detect_fn(img, cfg, octaves)
 
 
+@partial(jax.jit, static_argnums=(2, 3))
+def _jit_octave_pipeline(dog, gauss, cfg: SiftConfig, octave: int):
+    """extrema -> refine -> orient for one octave (one compiled program)."""
+    zyx, valid = detect_octave_extrema(
+        dog, cfg.extremum_threshold(), cfg.extrema_cap_for_octave(octave),
+        cfg.window_size,
+    )
+    kp, _ = refine_octave_keypoints(dog, zyx, valid, octave, cfg)
+    kp = kputil.compact(kp, cfg.kp_cap_for_octave(octave))
+    cand = orient_octave_keypoints(gauss, kp, octave, cfg)
+    return kputil.compact(cand, 2 * cfg.kp_cap_for_octave(octave))
+
+
 # --- per-stage jitted helpers (compiled + persistently cached separately,
 # so tests and debugging don't pay for one huge fused compile) ---
 
@@ -173,10 +186,29 @@ def detect_and_describe(image, cfg: SiftConfig | None = None) -> Keypoints:
     ``image``: (H, W) or (H, W, C) array in [0, 255] (float or uint8).
     Returns a fixed-capacity Keypoints buffer (device arrays) with a validity
     mask; ``.to_numpy()`` gives the dense host view.
+
+    Execution is stage-wise (one compiled program per pipeline stage /
+    octave): XLA compile time explodes superlinearly on the fully fused
+    8-octave graph, while per-stage programs compile in seconds and are
+    persistently cached.  Dispatch is async, so stages pipeline back-to-back
+    on device; use ``detect_fn`` directly to trace the whole pipeline into a
+    larger program (e.g. inside vmap/shard_map for multi-chip runs).
     """
     cfg = cfg or SiftConfig()
     img = jnp.asarray(image, cfg.dtype)
     h, w = img.shape[0], img.shape[1]
     scale = 2 if cfg.double_image_size else 1
     octaves = cfg.octaves_count(w * scale, h * scale)
-    return _detect_jit(img, cfg, octaves)
+
+    initial, gaussians, dogs = _jit_pyramids(img, cfg, octaves)
+    oriented = [
+        _jit_octave_pipeline(dogs[o], gaussians[o], cfg, o)
+        for o in range(octaves)
+    ]
+    allkp = _jit_dedup(kputil.concatenate(oriented))
+    desc_all = allkp.desc
+    for o in range(octaves):
+        desc_all = _jit_octave_descriptors(
+            gaussians[o], dataclasses.replace(allkp, desc=desc_all), cfg, o
+        )
+    return dataclasses.replace(allkp, desc=desc_all)
