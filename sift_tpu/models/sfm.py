@@ -1,0 +1,294 @@
+"""Incremental structure-from-motion.
+
+Pipeline (BASELINE.json config: "small incremental SfM: 10-frame sequence,
+pose-graph + Schur-complement bundle adjustment on 1 chip"):
+
+  detect+describe (models/sift) -> pairwise ratio matching (models/match)
+  -> feature tracks (host union-find) -> two-view initialization
+  (ransac_essential + recover_pose + triangulation) -> incremental
+  registration (ransac_pnp) + new-track triangulation -> global
+  Schur-complement BA (models/ba).
+
+The geometry/BA compute runs on device with static shapes; the track
+bookkeeping is host-side numpy (smallgraph work, not a device concern).
+The core driver is match-driven (``run_sfm_from_matches``) so tests can
+feed synthetic correspondences with ground truth; ``run_sfm`` wraps it with
+real detection+matching on images.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from sift_tpu.models import ba as ba_mod
+from sift_tpu.models.ba import BAProblem, ba_solve, build_obs_by_point
+from sift_tpu.models.geometry import (
+    ransac_essential,
+    ransac_pnp,
+    recover_pose,
+    rodrigues,
+    triangulate,
+)
+
+
+@dataclasses.dataclass
+class SfmResult:
+    poses: np.ndarray        # (C, 6) [rvec, tvec], x_cam = R X + t
+    points: np.ndarray       # (P, 3)
+    track_point: np.ndarray  # (T,) index into points or -1
+    info: dict
+
+
+class _Tracks:
+    """Union-find feature tracks over (frame, feature) observations."""
+
+    def __init__(self):
+        self.parent: dict[tuple[int, int], tuple[int, int]] = {}
+
+    def find(self, k):
+        p = self.parent.setdefault(k, k)
+        if p != k:
+            r = self.find(p)
+            self.parent[k] = r
+            return r
+        return k
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[ra] = rb
+
+    def groups(self):
+        out: dict[tuple[int, int], list[tuple[int, int]]] = {}
+        for k in list(self.parent):
+            out.setdefault(self.find(k), []).append(k)
+        return list(out.values())
+
+
+def _normalize(uv: np.ndarray, k: np.ndarray) -> np.ndarray:
+    return (uv - k[[0, 1], [2, 2]]) / k[[0, 1], [0, 1]]
+
+
+def run_sfm_from_matches(
+    keypoints_uv: list[np.ndarray],
+    pair_matches: dict[tuple[int, int], np.ndarray],
+    intrinsics: np.ndarray,
+    ba_iters: int = 25,
+    min_track_len: int = 2,
+    seed: int = 0,
+) -> SfmResult:
+    """Incremental SfM from per-frame keypoint pixels + pairwise matches.
+
+    keypoints_uv[i]: (N_i, 2) pixel coordinates of frame i's features.
+    pair_matches[(i, j)]: (M, 2) int array of (feature_i, feature_j) pairs.
+    intrinsics: (3, 3) K matrix (shared).
+    """
+    n_frames = len(keypoints_uv)
+    k = np.asarray(intrinsics, np.float64)
+    fxy = np.array([k[0, 0], k[1, 1]])
+    cxy = np.array([k[0, 2], k[1, 2]])
+
+    # ---- tracks ----
+    tr = _Tracks()
+    for (i, j), m in pair_matches.items():
+        for a, b in m:
+            tr.union((i, int(a)), (j, int(b)))
+    groups = [g for g in tr.groups() if len(g) >= min_track_len]
+    # Reject tracks with two observations in the same frame (ambiguous).
+    groups = [g for g in groups if len({f for f, _ in g}) == len(g)]
+    track_obs = [sorted(g) for g in groups]
+    n_tracks = len(track_obs)
+
+    def uv_of(f, feat):
+        return keypoints_uv[f][feat]
+
+    # ---- two-view initialization on frames (0, 1) ----
+    init_pairs = [
+        (t, dict(g)) for t, g in ((t, dict(g)) for t, g in enumerate(track_obs))
+        if 0 in g and 1 in g
+    ]
+    cap = max(64, 1 << int(np.ceil(np.log2(max(len(init_pairs), 2)))))
+    p1 = np.zeros((cap, 2))
+    p2 = np.zeros((cap, 2))
+    valid = np.zeros(cap, bool)
+    init_track_ids = np.full(cap, -1, np.int64)
+    for n, (t, g) in enumerate(init_pairs[:cap]):
+        p1[n] = _normalize(uv_of(0, g[0]), k)
+        p2[n] = _normalize(uv_of(1, g[1]), k)
+        valid[n] = True
+        init_track_ids[n] = t
+
+    e, inl, _ = ransac_essential(
+        jnp.asarray(p1, jnp.float32), jnp.asarray(p2, jnp.float32),
+        jnp.asarray(valid), 1024, 2e-3, seed,
+    )
+    r2, t2, front = recover_pose(
+        jnp.asarray(e), jnp.asarray(p1, jnp.float32), jnp.asarray(p2, jnp.float32),
+        jnp.asarray(np.asarray(inl)),
+    )
+    x0 = triangulate(
+        jnp.asarray(p1, jnp.float32), jnp.asarray(p2, jnp.float32),
+        jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32), r2, t2,
+    )
+    front = np.asarray(front)
+    x0 = np.asarray(x0, np.float64)
+
+    poses = np.zeros((n_frames, 6))
+    registered = [0, 1]
+    r2n = np.asarray(r2, np.float64)
+    cos = np.clip((np.trace(r2n) - 1) / 2, -1, 1)
+    theta = np.arccos(cos)
+    axis = np.array([r2n[2, 1] - r2n[1, 2], r2n[0, 2] - r2n[2, 0], r2n[1, 0] - r2n[0, 1]])
+    axis = axis / max(np.linalg.norm(axis), 1e-12)
+    poses[1, :3] = axis * theta
+    poses[1, 3:] = np.asarray(t2, np.float64)
+
+    track_point = np.full(n_tracks, -1, np.int64)
+    points: list[np.ndarray] = []
+    for n in range(cap):
+        if front[n] and init_track_ids[n] >= 0:
+            track_point[init_track_ids[n]] = len(points)
+            points.append(x0[n])
+
+    # ---- incremental registration ----
+    for f in range(2, n_frames):
+        cands = []
+        for t, g in enumerate(track_obs):
+            gd = dict(g)
+            if f in gd and track_point[t] >= 0:
+                cands.append((t, gd[f]))
+        if len(cands) < 8:
+            continue
+        cap_f = max(64, 1 << int(np.ceil(np.log2(len(cands)))))
+        X = np.zeros((cap_f, 3))
+        x = np.zeros((cap_f, 2))
+        v = np.zeros(cap_f, bool)
+        for n, (t, feat) in enumerate(cands[:cap_f]):
+            X[n] = points[track_point[t]]
+            x[n] = _normalize(uv_of(f, feat), k)
+            v[n] = True
+        rvec, tvec, inl_f, cnt = ransac_pnp(
+            jnp.asarray(X, jnp.float32), jnp.asarray(x, jnp.float32),
+            jnp.asarray(v), 1024, 8e-3, seed + f,
+        )
+        poses[f, :3] = np.asarray(rvec, np.float64)
+        poses[f, 3:] = np.asarray(tvec, np.float64)
+        registered.append(f)
+
+        # Triangulate new tracks between f and its best registered partner.
+        new = []
+        for t, g in enumerate(track_obs):
+            gd = dict(g)
+            if track_point[t] < 0 and f in gd:
+                partners = [rf for rf in registered[:-1] if rf in gd]
+                if partners:
+                    new.append((t, partners[0], gd[partners[0]], gd[f]))
+        if new:
+            cap_n = max(64, 1 << int(np.ceil(np.log2(len(new)))))
+            q1 = np.zeros((cap_n, 2))
+            q2 = np.zeros((cap_n, 2))
+            r1s = np.zeros((cap_n, 3, 3))
+            t1s = np.zeros((cap_n, 3))
+            ids = np.full(cap_n, -1, np.int64)
+            for n, (t, pf, feat_p, feat_f) in enumerate(new[:cap_n]):
+                q1[n] = _normalize(uv_of(pf, feat_p), k)
+                q2[n] = _normalize(uv_of(f, feat_f), k)
+                r1s[n] = np.asarray(rodrigues(jnp.asarray(poses[pf, :3])))
+                t1s[n] = poses[pf, 3:]
+                ids[n] = t
+            rf = np.asarray(rodrigues(jnp.asarray(poses[f, :3])))
+
+            import jax
+
+            xn = np.asarray(
+                jax.vmap(
+                    lambda a, b, ra, ta: triangulate(
+                        a[None], b[None], ra, ta,
+                        jnp.asarray(rf, jnp.float32), jnp.asarray(poses[f, 3:], jnp.float32),
+                    )[0]
+                )(
+                    jnp.asarray(q1, jnp.float32), jnp.asarray(q2, jnp.float32),
+                    jnp.asarray(r1s, jnp.float32), jnp.asarray(t1s, jnp.float32),
+                ),
+                np.float64,
+            )
+            for n in range(cap_n):
+                if ids[n] < 0:
+                    continue
+                # Cheirality in both views.
+                xc1 = r1s[n] @ xn[n] + t1s[n]
+                xc2 = rf @ xn[n] + poses[f, 3:]
+                if xc1[2] > 0.05 and xc2[2] > 0.05 and np.isfinite(xn[n]).all():
+                    track_point[ids[n]] = len(points)
+                    points.append(xn[n])
+
+    # ---- global bundle adjustment ----
+    pts = np.asarray(points) if points else np.zeros((0, 3))
+    obs_cam, obs_pt, obs_uv = [], [], []
+    for t, g in enumerate(track_obs):
+        pid = track_point[t]
+        if pid < 0:
+            continue
+        for f, feat in g:
+            if f in registered:
+                obs_cam.append(f)
+                obs_pt.append(pid)
+                obs_uv.append(uv_of(f, feat))
+    obs_cam = np.asarray(obs_cam, np.int32)
+    obs_pt = np.asarray(obs_pt, np.int32)
+    obs_uv = np.asarray(obs_uv, np.float64)
+
+    info = {"n_tracks": n_tracks, "n_points": len(pts), "n_obs": len(obs_cam)}
+    if len(obs_cam) >= 12 and len(pts) >= 8:
+        fixed = np.zeros(n_frames, bool)
+        fixed[0] = True
+        fixed[1] = True  # freezes gauge incl. scale
+        tbl = build_obs_by_point(obs_pt, len(pts))
+        pr = BAProblem(
+            cams=jnp.asarray(poses, jnp.float32),
+            points=jnp.asarray(pts, jnp.float32),
+            obs_cam=jnp.asarray(obs_cam),
+            obs_pt=jnp.asarray(obs_pt),
+            obs_uv=jnp.asarray(obs_uv, jnp.float32),
+            obs_mask=jnp.ones(len(obs_cam), bool),
+            obs_by_point=jnp.asarray(tbl),
+            fxy=jnp.asarray(fxy, jnp.float32),
+            cxy=jnp.asarray(cxy, jnp.float32),
+            fixed_cams=jnp.asarray(fixed),
+        )
+        cams_opt, pts_opt, ba_info = ba_solve(pr, ba_iters)
+        poses = np.asarray(cams_opt, np.float64)
+        pts = np.asarray(pts_opt, np.float64)
+        info["ba"] = ba_info
+
+    return SfmResult(poses=poses, points=pts, track_point=track_point, info=info)
+
+
+def run_sfm(images, intrinsics, cfg=None, ba_iters: int = 25) -> SfmResult:
+    """Full SfM on an image sequence: detection + matching + incremental SfM."""
+    from sift_tpu import SiftConfig, detect_and_describe, match_descriptors
+
+    cfg = cfg or SiftConfig()
+    kps = [detect_and_describe(img, cfg) for img in images]
+    uvs = []
+    valids = []
+    for kp in kps:
+        uvs.append(np.stack([np.asarray(kp.x), np.asarray(kp.y)], axis=-1))
+        valids.append(np.asarray(kp.valid))
+
+    pair_matches = {}
+    for i in range(len(images) - 1):
+        j = i + 1
+        idx, acc, _, _ = match_descriptors(
+            kps[i].desc, kps[i].valid, kps[j].desc, kps[j].valid,
+            cfg.ratio_threshold,
+        )
+        acc = np.asarray(acc)
+        idx = np.asarray(idx)
+        rows = np.nonzero(acc)[0]
+        pair_matches[(i, j)] = np.stack([rows, idx[rows]], axis=-1)
+
+    return run_sfm_from_matches(uvs, pair_matches, intrinsics, ba_iters)
