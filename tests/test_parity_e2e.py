@@ -82,6 +82,29 @@ def test_cave_keypoint_sets(cave):
         assert byte_diffs == 0, f"{npz}: {byte_diffs} descriptor bytes differ"
 
 
+def test_demo_pair_match_count():
+    """The reference demo pair (755x499, 8 octaves): 1286/1430 keypoints,
+    269 matches (BASELINE.md anchors)."""
+    kp1 = _detect(DATA / "oracle_demo1.npz")
+    kp2 = _detect(DATA / "oracle_demo2.npz")
+    assert int(kp1.count()) == 1286
+    assert int(kp2.count()) == 1430
+    ref1 = _oracle_dict(DATA / "oracle_demo1.npz")
+    ref2 = _oracle_dict(DATA / "oracle_demo2.npz")
+    mine1 = _final_dict(kp1)
+    mine2 = _final_dict(kp2)
+    assert set(mine1) == set(ref1)
+    assert set(mine2) == set(ref2)
+    byte_diffs = sum(int((mine1[k] != ref1[k]).sum()) for k in ref1)
+    byte_diffs += sum(int((mine2[k] != ref2[k]).sum()) for k in ref2)
+    assert byte_diffs == 0
+
+    idx, accept, _, _ = match_descriptors(
+        kp1.desc, kp1.valid, kp2.desc, kp2.valid
+    )
+    assert int(np.asarray(accept).sum()) == 269
+
+
 def test_cave_match_set(cave):
     kp0, kp1 = cave
     ref0 = _oracle_dict(DATA / "oracle_cave00.npz")
