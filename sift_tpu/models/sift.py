@@ -82,6 +82,82 @@ def _jit_octave_pipeline(dog, gauss, cfg: SiftConfig, octave: int):
     return kputil.compact(cand, 2 * cfg.kp_cap_for_octave(octave))
 
 
+# --- batched (leading image axis) stage-wise path: same per-stage programs
+# vmapped over a batch, which amortizes per-dispatch host overhead and fills
+# the chip; used by the throughput benchmark and data-parallel sharding ---
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _jit_pyramids_batch(imgs, cfg: SiftConfig, octaves: int):
+    return jax.vmap(
+        lambda im: build_pyramids(compute_initial_image(im, cfg), cfg, octaves)
+    )(imgs)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _jit_octave_pipeline_batch(dog, gauss, cfg: SiftConfig, octave: int):
+    def one(d, g):
+        zyx, valid = detect_octave_extrema(
+            d, cfg.extremum_threshold(), cfg.extrema_cap_for_octave(octave),
+            cfg.window_size,
+        )
+        kp, _ = refine_octave_keypoints(d, zyx, valid, octave, cfg)
+        kp = kputil.compact(kp, cfg.kp_cap_for_octave(octave))
+        cand = orient_octave_keypoints(g, kp, octave, cfg)
+        return kputil.compact(cand, 2 * cfg.kp_cap_for_octave(octave))
+
+    return jax.vmap(one)(dog, gauss)
+
+
+@partial(jax.jit)
+def _jit_dedup_batch(allkp):
+    return jax.vmap(kputil.sort_and_dedup)(allkp)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _jit_octave_descriptors_batch(gauss, allkp, cfg: SiftConfig, octave: int):
+    def one(g, kp):
+        n = kp.capacity
+        sel = kp.valid & (kp.octave == octave)
+        cap_o = 2 * cfg.kp_cap_for_octave(octave)
+        idx = jnp.nonzero(sel, size=cap_o, fill_value=n)[0]
+        in_range = idx < n
+        idx_c = jnp.minimum(idx, n - 1)
+        sub = jax.tree.map(lambda a: jnp.take(a, idx_c, axis=0), kp)
+        sub = dataclasses.replace(sub, valid=sub.valid & in_range)
+        desc = compute_octave_descriptors(g, sub, octave, cfg)
+        return kp.desc.at[idx].set(desc, mode="drop")
+
+    return jax.vmap(one)(gauss, allkp)
+
+
+def detect_and_describe_batch(images, cfg: SiftConfig | None = None) -> Keypoints:
+    """Batched detect+describe: (B, H, W[, C]) -> Keypoints with leading B.
+
+    Same stage-wise execution as detect_and_describe, vmapped over the batch.
+    """
+    cfg = cfg or SiftConfig()
+    imgs = jnp.asarray(images, cfg.dtype)
+    h, w = imgs.shape[1], imgs.shape[2]
+    scale = 2 if cfg.double_image_size else 1
+    octaves = cfg.octaves_count(w * scale, h * scale)
+
+    gaussians, dogs = _jit_pyramids_batch(imgs, cfg, octaves)
+    oriented = [
+        _jit_octave_pipeline_batch(dogs[o], gaussians[o], cfg, o)
+        for o in range(octaves)
+    ]
+    allkp = _jit_dedup_batch(
+        jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1), *oriented)
+    )
+    desc_all = allkp.desc
+    for o in range(octaves):
+        desc_all = _jit_octave_descriptors_batch(
+            gaussians[o], dataclasses.replace(allkp, desc=desc_all), cfg, o
+        )
+    return dataclasses.replace(allkp, desc=desc_all)
+
+
 # --- per-stage jitted helpers (compiled + persistently cached separately,
 # so tests and debugging don't pay for one huge fused compile) ---
 

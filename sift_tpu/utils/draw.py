@@ -99,6 +99,16 @@ def draw_keypoints(img: np.ndarray, kps: dict, scales_count: float) -> np.ndarra
     out = np.ascontiguousarray(img.astype(np.float64))
     if out.ndim == 2:
         out = np.repeat(out[:, :, None], 3, axis=2)
+
+    from sift_tpu.utils import native
+
+    if native.available():
+        res = native.draw_keypoints_native(
+            out.astype(np.float32), kps, scales_count
+        )
+        if res is not None:
+            return res.astype(np.float64)
+
     max_radius, min_radius = 110.0, 5.0
     for x, y, layer, pori in zip(kps["x"], kps["y"], kps["layer"], kps["pori"]):
         radius = int(
@@ -131,6 +141,19 @@ def draw_matches(img_a: np.ndarray, img_b: np.ndarray, pairs) -> np.ndarray:
     out = np.zeros((h, a.shape[1] + b.shape[1], 3))
     out[: a.shape[0], : a.shape[1]] = a
     out[: b.shape[0], a.shape[1] :] = b
+
+    pairs = list(pairs)
+    from sift_tpu.utils import native
+
+    if native.available() and pairs:
+        p1 = np.asarray([p[0] for p in pairs], np.float64)
+        p2 = np.asarray([p[1] for p in pairs], np.float64)
+        res = native.draw_match_lines_native(
+            out.astype(np.float32), p1, p2, a.shape[1]
+        )
+        if res is not None:
+            return res.astype(np.float64)
+
     for (x1, y1), (x2, y2) in pairs:
         draw_line(out, int(x1), int(y1), a.shape[1] + int(x2), int(y2))
     return out

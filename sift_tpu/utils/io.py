@@ -14,7 +14,21 @@ from PIL import Image as PILImage
 
 
 def load_image(path: str, dtype=np.float32) -> np.ndarray:
-    """Load an image file as (H, W, C) float array in [0, 255], C in {1, 3}."""
+    """Load an image file as (H, W, C) float array in [0, 255], C in {1, 3}.
+
+    Uses the native C++ decoder (csrc/) when built — same libjpeg/libpng
+    codecs as Pillow, decoded straight into float32 without a uint8 hop —
+    and falls back to Pillow otherwise.
+    """
+    if dtype == np.float32:
+        from sift_tpu.utils import native
+
+        if native.available():
+            arr = native.decode_image(path)
+            if arr is not None:
+                if arr.shape[2] > 3:
+                    arr = arr[:, :, :3]
+                return arr
     with PILImage.open(path) as im:
         if im.mode in ("RGBA", "P", "CMYK", "LA"):
             im = im.convert("RGB")
