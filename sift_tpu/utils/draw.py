@@ -41,10 +41,13 @@ def _set_rgb(img: np.ndarray, x: int, y: int, color: int) -> None:
 
 def draw_point(img: np.ndarray, x: int, y: int, size: int = 1, color: int = WHITE):
     h, w = img.shape[:2]
-    for i in range(-size // 2, size // 2 + 1):
+    # C++ -size/2 truncates toward zero (src/image.cpp:246), unlike Python's
+    # floor division: size=1 covers exactly one pixel.
+    lo = -(size // 2)
+    for i in range(lo, size // 2 + 1):
         if not 0 <= x + i < w:
             continue
-        for j in range(-size // 2, size // 2 + 1):
+        for j in range(lo, size // 2 + 1):
             if not 0 <= y + j < h:
                 continue
             if img.ndim == 2:
