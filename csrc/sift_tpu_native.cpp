@@ -341,8 +341,9 @@ void sift_draw_keypoints(float* img, int w, int h, int c, const double* xs,
                                   std::log(max_radius / min_radius)));
         int color = colors[layers[i] % 7];
         sift_draw_circle(img, w, h, c, cx, cy, radius, color, 1);
-        int x2 = cx + static_cast<int>(radius * std::cos(poris[i]));
-        int y2 = cy + static_cast<int>(radius * std::sin(poris[i]));
+        // Truncate the sum like the reference (src/sift.cpp:840-841).
+        int x2 = static_cast<int>(xs[i] + radius * std::cos(poris[i]));
+        int y2 = static_cast<int>(ys[i] + radius * std::sin(poris[i]));
         sift_draw_line(img, w, h, c, cx, cy, x2, y2, color, 1);
     }
 }
