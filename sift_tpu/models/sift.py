@@ -46,6 +46,9 @@ def detect_fn(img: jnp.ndarray, cfg: SiftConfig, octaves: int) -> Keypoints:
 
     allkp = kputil.concatenate(oriented)
     allkp = kputil.sort_and_dedup(allkp)
+    # Pack into the final ori_cap buffer: downstream matching cost scales
+    # with capacity, not keypoint count.
+    allkp = kputil.compact(allkp, cfg.ori_cap)
 
     # Descriptors per octave: select this octave's lanes, compute, scatter back.
     n = allkp.capacity
@@ -114,6 +117,11 @@ def _jit_dedup_batch(allkp):
     return jax.vmap(kputil.sort_and_dedup)(allkp)
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _jit_compact_batch(allkp, cap: int):
+    return jax.vmap(lambda kp: kputil.compact(kp, cap))(allkp)
+
+
 @partial(jax.jit, static_argnums=(2, 3))
 def _jit_octave_descriptors_batch(gauss, allkp, cfg: SiftConfig, octave: int):
     def one(g, kp):
@@ -150,6 +158,7 @@ def detect_and_describe_batch(images, cfg: SiftConfig | None = None) -> Keypoint
     allkp = _jit_dedup_batch(
         jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1), *oriented)
     )
+    allkp = _jit_compact_batch(allkp, cfg.ori_cap)
     desc_all = allkp.desc
     for o in range(octaves):
         desc_all = _jit_octave_descriptors_batch(
@@ -189,9 +198,9 @@ def _jit_octave_orient(gauss, kp, cfg: SiftConfig, octave: int):
     return kputil.compact(cand, 2 * cfg.kp_cap_for_octave(octave))
 
 
-@partial(jax.jit)
-def _jit_dedup(allkp):
-    return kputil.sort_and_dedup(allkp)
+@partial(jax.jit, static_argnums=(1,))
+def _jit_dedup(allkp, ori_cap: int):
+    return kputil.compact(kputil.sort_and_dedup(allkp), ori_cap)
 
 
 @partial(jax.jit, static_argnums=(2, 3))
@@ -246,7 +255,7 @@ def detect_stages(img, cfg: SiftConfig, octaves: int) -> dict:
             kp = _host_exact_sizes(kp, off0, o, cfg)
         out["refined"].append(kp)
         out["oriented"].append(_jit_octave_orient(gaussians[o], kp, cfg, o))
-    allkp = _jit_dedup(kputil.concatenate(out["oriented"]))
+    allkp = _jit_dedup(kputil.concatenate(out["oriented"]), cfg.ori_cap)
     desc_all = allkp.desc
     for o in range(octaves):
         desc_all = _jit_octave_descriptors(
@@ -281,7 +290,7 @@ def detect_and_describe(image, cfg: SiftConfig | None = None) -> Keypoints:
         _jit_octave_pipeline(dogs[o], gaussians[o], cfg, o)
         for o in range(octaves)
     ]
-    allkp = _jit_dedup(kputil.concatenate(oriented))
+    allkp = _jit_dedup(kputil.concatenate(oriented), cfg.ori_cap)
     desc_all = allkp.desc
     for o in range(octaves):
         desc_all = _jit_octave_descriptors(
