@@ -36,7 +36,8 @@ def _shift_clamped_tpu(x, u: int, axis: int):
     n = x.shape[axis]
     if u == 0:
         return x
-    rolled = pltpu.roll(x, -u, axis=axis)
+    # pltpu.roll requires non-negative shifts; roll(x, n-u) == jnp.roll(x, -u)
+    rolled = pltpu.roll(x, (n - u) % n if u > 0 else -u, axis=axis)
     if axis == 1 or axis == -1:
         idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
         if u > 0:
@@ -63,13 +64,29 @@ def _pass_kernel(in_ref, out_ref, *, taps, inv_sum, axis):
 
 
 def _one_pass(img, taps, axis, interpret):
+    """One 1D pass, gridded over the NON-convolved axis.
+
+    Rows are independent in the horizontal pass and columns in the vertical
+    pass, so blocks along the orthogonal axis need no halos and the scoped
+    VMEM footprint stays a few tap-temporaries times one strip.
+    """
+    h, w = img.shape
     inv_sum = 1.0 / half_kernel_weight_sum(list(taps))
     kernel = partial(_pass_kernel, taps=tuple(taps), inv_sum=inv_sum, axis=axis)
+    if axis in (1, -1):  # horizontal: strip over rows
+        tr = min(h, 256)
+        grid = (-(-h // tr),)
+        spec = pl.BlockSpec((tr, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    else:  # vertical: strip over columns
+        tc = min(w, 256)
+        grid = (-(-w // tc),)
+        spec = pl.BlockSpec((h, tc), lambda i: (0, i), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
+        grid=grid,
         out_shape=jax.ShapeDtypeStruct(img.shape, img.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        in_specs=[spec],
+        out_specs=spec,
         interpret=interpret,
     )(img)
 

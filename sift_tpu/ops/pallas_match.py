@@ -29,13 +29,14 @@ _TM = 512  # cols (B descriptors) per block
 def _kernel(a_ref, na_ref, b_ref, nb_ref, vb_ref,
             best_ref, second_ref, idx_ref,
             rb_best, rb_second, rb_idx):
+    i = pl.program_id(0)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
     @pl.when(j == 0)
     def _():
-        rb_best[:] = jnp.full_like(rb_best, _HUGE_D2)
-        rb_second[:] = jnp.full_like(rb_second, _HUGE_D2)
+        rb_best[:] = jnp.full_like(rb_best, float(_HUGE_D2))
+        rb_second[:] = jnp.full_like(rb_second, float(_HUGE_D2))
         rb_idx[:] = jnp.zeros_like(rb_idx)
 
     a = a_ref[:]          # (TN, 128) f32
@@ -45,21 +46,26 @@ def _kernel(a_ref, na_ref, b_ref, nb_ref, vb_ref,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    d2 = na_ref[:].reshape(-1, 1) + nb_ref[:].reshape(1, -1) - 2.0 * g
-    d2 = d2.astype(jnp.int32)
-    d2 = jnp.where(vb_ref[:].reshape(1, -1) != 0, d2, _HUGE_D2)
+    na = na_ref[0, pl.ds(i * _TN, _TN)]   # (TN,)
+    nb = nb_ref[0, pl.ds(j * _TM, _TM)]   # (TM,)
+    vb = vb_ref[0, pl.ds(j * _TM, _TM)]
+    # f32 throughout: all distances are integers < 2^24 (exact in f32) and
+    # Mosaic's argmin lowering supports only float32.
+    huge = jnp.float32(_HUGE_D2)
+    d2 = na.reshape(-1, 1) + nb.reshape(1, -1) - 2.0 * g
+    d2 = jnp.where(vb.reshape(1, -1) != 0, d2, huge)
 
     # Tile top-2 per row.
     tile_best = jnp.min(d2, axis=1)
     tile_arg = jnp.argmin(d2, axis=1).astype(jnp.int32)
     cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-    d2_wo = jnp.where(cols == tile_arg[:, None], _HUGE_D2, d2)
+    d2_wo = jnp.where(cols == tile_arg[:, None], huge, d2)
     tile_second = jnp.min(d2_wo, axis=1)
     tile_idx = tile_arg + j * _TM
 
-    b1 = rb_best[:]
-    b2 = rb_second[:]
-    i1 = rb_idx[:]
+    b1 = rb_best[0, :]
+    b2 = rb_second[0, :]
+    i1 = rb_idx[0, :]
     # Merge: strict < so earlier (running) wins ties == reference scan order.
     take_new = tile_best < b1
     new_b1 = jnp.where(take_new, tile_best, b1)
@@ -69,15 +75,15 @@ def _kernel(a_ref, na_ref, b_ref, nb_ref, vb_ref,
         jnp.where(take_new, b1, tile_best),
         jnp.minimum(b2, tile_second),
     )
-    rb_best[:] = new_b1
-    rb_second[:] = new_b2
-    rb_idx[:] = new_i1
+    rb_best[0, :] = new_b1
+    rb_second[0, :] = new_b2
+    rb_idx[0, :] = new_i1
 
     @pl.when(j == nj - 1)
     def _():
-        best_ref[:] = rb_best[:]
-        second_ref[:] = rb_second[:]
-        idx_ref[:] = rb_idx[:]
+        best_ref[i, :] = rb_best[0, :].astype(jnp.int32)
+        second_ref[i, :] = rb_second[0, :].astype(jnp.int32)
+        idx_ref[i, :] = rb_idx[0, :]
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -93,39 +99,45 @@ def pallas_top2(desc1, valid1, desc2, valid2, interpret: bool = False):
 
     a = jnp.zeros((n_pad, 128), jnp.float32).at[:n].set(desc1.astype(jnp.float32))
     b = jnp.zeros((m_pad, 128), jnp.float32).at[:m].set(desc2.astype(jnp.float32))
-    vb = jnp.zeros((m_pad,), jnp.int32).at[:m].set(valid2.astype(jnp.int32))
-    na = jnp.sum(a * a, axis=1)
-    nb = jnp.sum(b * b, axis=1)
+    vb = jnp.zeros((1, m_pad), jnp.int32).at[0, :m].set(valid2.astype(jnp.int32))
+    na = jnp.sum(a * a, axis=1).reshape(1, -1)
+    nb = jnp.sum(b * b, axis=1).reshape(1, -1)
 
-    grid = (n_pad // _TN, m_pad // _TM)
+    ni = n_pad // _TN
+    grid = (ni, m_pad // _TM)
+    full = lambda i, j: (0, 0)
     best, second, idx = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((_TN, 128), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TN,), lambda i, j: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((_TM, 128), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TM,), lambda i, j: (j,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TM,), lambda i, j: (j,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad), full, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((_TN,), lambda i, j: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TN,), lambda i, j: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TN,), lambda i, j: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ni, _TN), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ni, _TN), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ni, _TN), full, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad,), jnp.int32),
-            jax.ShapeDtypeStruct((n_pad,), jnp.int32),
-            jax.ShapeDtypeStruct((n_pad,), jnp.int32),
+            jax.ShapeDtypeStruct((ni, _TN), jnp.int32),
+            jax.ShapeDtypeStruct((ni, _TN), jnp.int32),
+            jax.ShapeDtypeStruct((ni, _TN), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_TN,), jnp.int32),
-            pltpu.VMEM((_TN,), jnp.int32),
-            pltpu.VMEM((_TN,), jnp.int32),
+            pltpu.VMEM((1, _TN), jnp.float32),
+            pltpu.VMEM((1, _TN), jnp.float32),
+            pltpu.VMEM((1, _TN), jnp.int32),
         ],
         interpret=interpret,
     )(a, na, b, nb, vb)
-    return best[:n], second[:n], idx[:n]
+    return (
+        best.reshape(-1)[:n],
+        second.reshape(-1)[:n],
+        idx.reshape(-1)[:n],
+    )
 
 
 def match_descriptors_pallas(desc1, valid1, desc2, valid2,
