@@ -32,3 +32,20 @@ jax.config.update("jax_enable_x64", True)
 os.makedirs("/root/.cache/jax_test_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_executables_between_modules():
+    """Drop live compiled executables after each test module.
+
+    The suite compiles hundreds of XLA-CPU programs; keeping them all loaded
+    eventually segfaults the compiler mid-build (JIT code mappings exhaust).
+    The persistent disk cache makes re-loading cheap.
+    """
+    yield
+    jax.clear_caches()
+    gc.collect()
