@@ -17,7 +17,6 @@ profile is bit-faithful; cube values are /255 like get_pixel_cube
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

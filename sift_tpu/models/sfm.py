@@ -23,7 +23,6 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
-from sift_tpu.models import ba as ba_mod
 from sift_tpu.models.ba import BAProblem, ba_solve, build_obs_by_point
 from sift_tpu.models.geometry import (
     ransac_essential,

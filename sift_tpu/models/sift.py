@@ -5,9 +5,12 @@ minus the reference's design warts: no PNG side effect inside the detection
 API (src/sift.cpp:766-768), no stdout logging interleaved with compute, no
 per-extremum deep copies.
 
-The whole pipeline for one image size compiles to a single XLA program: the
-octave loop is unrolled at trace time, every stage runs on fixed-capacity
-buffers, and compiled programs are cached per (shape, config).
+Execution model: every stage runs on fixed-capacity buffers with the octave
+loop unrolled at trace time.  Production entry points run stage-wise (one
+persistently-cached XLA program per stage/octave, optionally vmapped over an
+image batch); ``detect_fn`` traces the whole pipeline into one program for
+composition under vmap/shard_map (multi-chip) — the fully fused program is
+kept out of the hot path because XLA compiles it superlinearly slower.
 """
 
 from __future__ import annotations

@@ -20,7 +20,6 @@ TPU-first design notes:
 
 from __future__ import annotations
 
-import dataclasses
 import math
 from functools import partial
 
