@@ -104,19 +104,42 @@ def run_sfm_from_matches(
     def uv_of(f, feat):
         return keypoints_uv[f][feat]
 
-    # ---- two-view initialization on frames (0, 1) ----
-    init_pairs = [
-        (t, dict(g)) for t, g in ((t, dict(g)) for t, g in enumerate(track_obs))
-        if 0 in g and 1 in g
-    ]
+    # ---- choose the initialization pair ----
+    # Among frame pairs sharing enough tracks, pick max median disparity *
+    # sqrt(count): small-baseline pairs make the two-view geometry (and the
+    # BA gauge, which freezes both init cameras) ill-conditioned.
+    shared: dict[tuple[int, int], list] = {}
+    for t, g in enumerate(track_obs):
+        gd = dict(g)
+        fs = sorted(gd)
+        for ai in range(len(fs)):
+            for bi in range(ai + 1, len(fs)):
+                shared.setdefault((fs[ai], fs[bi]), []).append((t, gd))
+    best_score = -1.0
+    fa, fb = 0, min(1, n_frames - 1)
+    for (i, j), lst in shared.items():
+        if len(lst) < 16:
+            continue
+        disp = np.median(
+            [np.linalg.norm(uv_of(i, gd[i]) - uv_of(j, gd[j])) for t, gd in lst]
+        )
+        score = disp * np.sqrt(len(lst))
+        if score > best_score:
+            best_score = score
+            fa, fb = i, j
+    init_pairs = shared.get((fa, fb), [
+        (t, dict(g)) for t, g in enumerate(track_obs)
+        if fa in dict(g) and fb in dict(g)
+    ])
+
     cap = max(64, 1 << int(np.ceil(np.log2(max(len(init_pairs), 2)))))
     p1 = np.zeros((cap, 2))
     p2 = np.zeros((cap, 2))
     valid = np.zeros(cap, bool)
     init_track_ids = np.full(cap, -1, np.int64)
     for n, (t, g) in enumerate(init_pairs[:cap]):
-        p1[n] = _normalize(uv_of(0, g[0]), k)
-        p2[n] = _normalize(uv_of(1, g[1]), k)
+        p1[n] = _normalize(uv_of(fa, g[fa]), k)
+        p2[n] = _normalize(uv_of(fb, g[fb]), k)
         valid[n] = True
         init_track_ids[n] = t
 
@@ -136,14 +159,14 @@ def run_sfm_from_matches(
     x0 = np.asarray(x0, np.float64)
 
     poses = np.zeros((n_frames, 6))
-    registered = [0, 1]
+    registered = [fa, fb]
     r2n = np.asarray(r2, np.float64)
     cos = np.clip((np.trace(r2n) - 1) / 2, -1, 1)
     theta = np.arccos(cos)
     axis = np.array([r2n[2, 1] - r2n[1, 2], r2n[0, 2] - r2n[2, 0], r2n[1, 0] - r2n[0, 1]])
     axis = axis / max(np.linalg.norm(axis), 1e-12)
-    poses[1, :3] = axis * theta
-    poses[1, 3:] = np.asarray(t2, np.float64)
+    poses[fb, :3] = axis * theta
+    poses[fb, 3:] = np.asarray(t2, np.float64)
 
     track_point = np.full(n_tracks, -1, np.int64)
     points: list[np.ndarray] = []
@@ -153,7 +176,18 @@ def run_sfm_from_matches(
             points.append(x0[n])
 
     # ---- incremental registration ----
-    for f in range(2, n_frames):
+    # Register remaining frames most-constrained-first (greedy by current
+    # 2D-3D candidate count).
+    remaining = [f for f in range(n_frames) if f not in registered]
+    while remaining:
+        counts = {}
+        for f in remaining:
+            counts[f] = sum(
+                1 for t, g in enumerate(track_obs)
+                if track_point[t] >= 0 and f in dict(g)
+            )
+        f = max(remaining, key=lambda x: counts[x])
+        remaining.remove(f)
         cands = []
         for t, g in enumerate(track_obs):
             gd = dict(g)
@@ -243,8 +277,8 @@ def run_sfm_from_matches(
     info = {"n_tracks": n_tracks, "n_points": len(pts), "n_obs": len(obs_cam)}
     if len(obs_cam) >= 12 and len(pts) >= 8:
         fixed = np.zeros(n_frames, bool)
-        fixed[0] = True
-        fixed[1] = True  # freezes gauge incl. scale
+        fixed[fa] = True
+        fixed[fb] = True  # freezes gauge incl. scale
         tbl = build_obs_by_point(obs_pt, len(pts))
         pr = BAProblem(
             cams=jnp.asarray(poses, jnp.float32),
