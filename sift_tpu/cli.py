@@ -8,6 +8,7 @@ and all knobs are exposed as flags (the reference hardcodes defaults).
 
 Usage:
     python -m sift_tpu <image1> <image2> [--out-dir DIR] [--ratio 0.75] ...
+    python -m sift_tpu stitch <scene_dir> [--out panorama.png]
 """
 
 from __future__ import annotations
@@ -42,7 +43,49 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def stitch_main(argv) -> int:
+    """``sift_tpu stitch <scene_dir>``: multi-image panorama.
+
+    The scene directory holds numbered images (00.jpg, 01.jpg, ...) and
+    optionally a ``*-STITCH-GRAPH.txt`` match graph; without one, a chain
+    graph over consecutive images centered on the middle image is used.
+    """
+    import glob
+
+    p = argparse.ArgumentParser(prog="sift_tpu stitch")
+    p.add_argument("scene_dir")
+    p.add_argument("--out", default="panorama.png")
+    p.add_argument("--hypotheses", type=int, default=2048)
+    args = p.parse_args(argv)
+
+    from sift_tpu.models.stitch import stitch_scene
+    from sift_tpu.utils.io import load_image, save_image
+    from sift_tpu.utils.stitch_graph import StitchGraph, parse_stitch_graph
+
+    graphs = glob.glob(os.path.join(args.scene_dir, "*-STITCH-GRAPH.txt"))
+    images = sorted(
+        f for f in glob.glob(os.path.join(args.scene_dir, "*"))
+        if f.lower().endswith((".jpg", ".jpeg", ".png"))
+    )
+    imgs = [load_image(f) for f in images]
+    if graphs:
+        graph = parse_stitch_graph(graphs[0])
+    else:
+        n = len(imgs)
+        graph = StitchGraph(
+            center_index=n // 2, center_rotation=0.0, images_count=n,
+            edges=tuple((i, i + 1) for i in range(n - 1)),
+        )
+    pano = stitch_scene(imgs, graph, num_hypotheses=args.hypotheses)
+    save_image(args.out, pano)
+    print(f"{args.out}: {pano.shape[1]}x{pano.shape[0]} from {len(imgs)} images")
+    return 0
+
+
 def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "stitch":
+        return stitch_main(argv[1:])
     args = build_parser().parse_args(argv)
 
     import jax

@@ -110,3 +110,17 @@ def test_cli_runs(tmp_path):
     summary = json.loads(out.stdout.strip().splitlines()[-1])
     assert summary["keypoints1"] >= 0
     assert (tmp_path / "matches.png").exists()
+
+
+def test_checked_catches_nan():
+    import jax.numpy as jnp
+
+    from sift_tpu.utils.debug import assert_finite, checked
+
+    f = checked(lambda x: x / x)  # 0/0 -> NaN
+    with pytest.raises(Exception):
+        f(jnp.zeros(4))
+
+    with pytest.raises(FloatingPointError):
+        assert_finite({"a": np.array([1.0, np.nan])})
+    assert_finite({"a": np.array([1.0, 2.0])})
