@@ -45,10 +45,37 @@ def _dlt_matrix(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
 
 
 def _solve_h(a: jnp.ndarray) -> jnp.ndarray:
-    """Null vector of (..., M, 9) via SVD -> (..., 3, 3) homography."""
-    _, _, vt = jnp.linalg.svd(a, full_matrices=True)
-    h = vt[..., -1, :]
+    """Least-squares null vector of (..., M, 9) -> (..., 3, 3) homography.
+
+    Uses the 9x9 normal equations + eigh (smallest eigenvector) instead of a
+    batched (M, 9) SVD: identical minimizer, but a tiny fixed-size eigencode
+    that XLA compiles and runs far faster than batched SVD on TPU.  Hartley
+    normalization keeps the squared conditioning harmless.
+    """
+    ata = jnp.einsum("...mi,...mj->...ij", a, a)
+    _, vecs = jnp.linalg.eigh(ata)
+    h = vecs[..., :, 0]  # eigenvector of the smallest eigenvalue
     return h.reshape(*h.shape[:-1], 3, 3)
+
+
+def _solve_h_4pt(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
+    """Exact 4-point homography via an 8x8 linear solve (h33 = 1 gauge).
+
+    (..., 4, 2) -> (..., 3, 3).  Degenerate samples (h33 ~ 0 or singular A)
+    produce garbage hypotheses that simply score zero inliers.
+    """
+    x, y = p1[..., 0], p1[..., 1]
+    u, v = p2[..., 0], p2[..., 1]
+    z = jnp.zeros_like(x)
+    o = jnp.ones_like(x)
+    r1 = jnp.stack([x, y, o, z, z, z, -u * x, -u * y], axis=-1)
+    r2 = jnp.stack([z, z, z, x, y, o, -v * x, -v * y], axis=-1)
+    a = jnp.concatenate([r1, r2], axis=-2)           # (..., 8, 8)
+    b = jnp.concatenate([u, v], axis=-1)[..., None]  # (..., 8, 1)
+    eye = jnp.eye(8, dtype=a.dtype) * 1e-12
+    h8 = jnp.linalg.solve(a + eye, b)[..., 0]
+    ones = jnp.ones_like(h8[..., :1])
+    return jnp.concatenate([h8, ones], axis=-1).reshape(*h8.shape[:-1], 3, 3)
 
 
 def _apply_h(h: jnp.ndarray, pts: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
@@ -106,8 +133,7 @@ def ransac_homography(
     s1 = p1n[idx]  # (K, 4, 2)
     s2 = p2n[idx]
 
-    a = _dlt_matrix(s1, s2)  # (K, 8, 9)
-    h = _solve_h(a)  # (K, 3, 3) in normalized space
+    h = _solve_h_4pt(s1, s2)  # (K, 3, 3) in normalized space
 
     # Inlier counting in original pixel space: H_px = T2^-1 H T1.
     t2inv = jnp.linalg.inv(t2)
@@ -281,20 +307,31 @@ def stitch_scene(
     cfg=None,
     num_hypotheses: int = 2048,
 ) -> np.ndarray:
-    """Multi-image panorama along a STITCH-GRAPH toward its center image."""
+    """Multi-image panorama along a STITCH-GRAPH toward its center image.
+
+    All device work (detection for every image, matching + RANSAC for every
+    tree edge) is dispatched before the single host read of the stacked edge
+    homographies: on tunneled TPU setups the first device->host transfer
+    degrades subsequent dispatch latency, so the pipeline keeps everything
+    on-device until the geometry is needed for canvas layout.
+    """
     from sift_tpu import SiftConfig, detect_and_describe
 
     cfg = cfg or SiftConfig()
     kps = [detect_and_describe(img, cfg) for img in images]
 
     parents = graph.bfs_parents()
-    h_edge: dict[tuple[int, int], np.ndarray] = {}
-    for i, parent in parents.items():
-        if i == graph.center_index:
-            continue
+    edge_list = [
+        (i, parent) for i, parent in parents.items() if i != graph.center_index
+    ]
+    hs = []
+    for i, parent in edge_list:
         p1, p2, ok = match_points(kps[i], kps[parent], cfg.ratio_threshold)
         h, _, n_inl = ransac_homography(p1, p2, ok, num_hypotheses)
-        h_edge[(i, parent)] = np.asarray(h, np.float64)
+        hs.append(h)
+    # Single device->host transfer for all edge homographies.
+    hs_host = np.asarray(jnp.stack(hs), np.float64) if hs else np.zeros((0, 3, 3))
+    h_edge = {e: hs_host[n] for n, e in enumerate(edge_list)}
 
     # Chain toward center: H_i->center = H_parent->center @ H_i->parent.
     h_center: dict[int, np.ndarray] = {graph.center_index: np.eye(3)}
