@@ -181,6 +181,10 @@ def warp_accumulate(
     feather weight (normalized distance to the image border) for seamless
     multi-image blending.
     """
+    return _warp_accumulate_impl(image, h_inv, out_h, out_w)
+
+
+def _warp_accumulate_impl(image, h_inv, out_h: int, out_w: int):
     h, w = image.shape[0], image.shape[1]
     dtype = image.dtype
 
@@ -229,13 +233,39 @@ def warp_accumulate(
     )
 
 
+@partial(jax.jit, static_argnums=(2, 3))
+def _blend_strip(images: jnp.ndarray, h_invs: jnp.ndarray, strip_h: int, out_w: int):
+    """Accumulate one canvas strip over a same-shape image stack on device."""
+
+    def add(carry, inp):
+        acc, wacc = carry
+        img, h_inv = inp
+        a, wgt = _warp_accumulate_impl(img, h_inv, strip_h, out_w)
+        return (acc + a, wacc + wgt), None
+
+    c = images.shape[-1]
+    init = (
+        jnp.zeros((strip_h, out_w, c), jnp.float32),
+        jnp.zeros((strip_h, out_w), jnp.float32),
+    )
+    (acc, wacc), _ = jax.lax.scan(add, init, (images, h_invs))
+    return acc / jnp.maximum(wacc, 1e-8)[:, :, None]
+
+
 def blend_warped(
-    images: list[np.ndarray], homographies: list[np.ndarray]
+    images: list[np.ndarray],
+    homographies: list[np.ndarray],
+    max_canvas: int = 8192,
+    strip_rows: int = 1024,
 ) -> np.ndarray:
     """Warp every image through its canvas homography and feather-blend.
 
     ``homographies[i]`` maps image i pixel coords -> common frame.  The canvas
-    bounds come from the warped corners (host-side: shapes are data).
+    bounds come from the warped corners (host-side: shapes are data), clamped
+    to ``max_canvas`` per side (planar projective chains blow up as the
+    panorama field of view approaches 180 degrees).  The canvas streams in
+    row strips; accumulation over images runs on device (lax.scan for
+    same-shape stacks) and each strip transfers to the host exactly once.
     """
     corners = []
     for img, h in zip(images, homographies):
@@ -248,24 +278,43 @@ def blend_warped(
     corners = np.concatenate(corners, axis=0)
     x_min, y_min = np.floor(corners.min(axis=0))
     x_max, y_max = np.ceil(corners.max(axis=0))
-    out_w = int(x_max - x_min + 1)
-    out_h = int(y_max - y_min + 1)
+    x_min = max(x_min, -float(max_canvas) / 2)
+    y_min = max(y_min, -float(max_canvas) / 2)
+    out_w = min(int(x_max - x_min + 1), max_canvas)
+    out_h = min(int(y_max - y_min + 1), max_canvas)
     t = np.array([[1, 0, -x_min], [0, 1, -y_min], [0, 0, 1]], np.float64)
 
-    acc = None
-    wacc = None
-    for img, h in zip(images, homographies):
-        h_canvas = t @ np.asarray(h)
-        h_inv = np.linalg.inv(h_canvas)
-        a, wgt = warp_accumulate(
-            jnp.asarray(img, jnp.float32), jnp.asarray(h_inv, jnp.float32),
-            out_h, out_w,
+    h_invs = np.stack(
+        [np.linalg.inv(t @ np.asarray(h)) for h in homographies]
+    ).astype(np.float32)
+    same_shape = len({img.shape for img in images}) == 1
+    strip_h = min(strip_rows, out_h)
+    n_strips = -(-out_h // strip_h)
+    out = np.zeros((out_h, out_w, images[0].shape[2]), np.float32)
+    stack = (
+        jnp.asarray(np.stack(images).astype(np.float32)) if same_shape else None
+    )
+    imgs_j = None if same_shape else [jnp.asarray(im, jnp.float32) for im in images]
+    for s in range(n_strips):
+        t_strip = np.array(
+            [[1, 0, 0], [0, 1, float(s * strip_h)], [0, 0, 1]], np.float32
         )
-        a = np.asarray(a)
-        wgt = np.asarray(wgt)
-        acc = a if acc is None else acc + a
-        wacc = wgt if wacc is None else wacc + wgt
-    return acc / np.maximum(wacc, 1e-8)[:, :, None]
+        h_inv_s = (h_invs.astype(np.float64) @ t_strip.astype(np.float64)).astype(
+            np.float32
+        )
+        if same_shape:
+            strip = _blend_strip(stack, jnp.asarray(h_inv_s), strip_h, out_w)
+        else:
+            acc = jnp.zeros((strip_h, out_w, images[0].shape[2]), jnp.float32)
+            wacc = jnp.zeros((strip_h, out_w), jnp.float32)
+            for im, hi in zip(imgs_j, h_inv_s):
+                a, wgt = warp_accumulate(im, jnp.asarray(hi), strip_h, out_w)
+                acc = acc + a
+                wacc = wacc + wgt
+            strip = acc / jnp.maximum(wacc, 1e-8)[:, :, None]
+        rows = slice(s * strip_h, min((s + 1) * strip_h, out_h))
+        out[rows] = np.asarray(strip)[: rows.stop - rows.start]
+    return out
 
 
 # --------------------------------------------------------------------------
