@@ -274,8 +274,16 @@ def blend_warped(
             [[0, 0], [ww - 1, 0], [0, hh - 1], [ww - 1, hh - 1]], np.float64
         )
         ch = np.concatenate([c, np.ones((4, 1))], axis=1) @ np.asarray(h).T
-        corners.append(ch[:, :2] / ch[:, 2:3])
+        wz = ch[:, 2:3]
+        wz = np.where(np.abs(wz) < 1e-9, 1e-9, wz)
+        corners.append(ch[:, :2] / wz)
     corners = np.concatenate(corners, axis=0)
+    # Degenerate homographies throw corners to infinity; the canvas clamp
+    # below bounds them, so cap here to keep the arithmetic finite.
+    corners = np.clip(
+        np.nan_to_num(corners, nan=0.0, posinf=max_canvas, neginf=-max_canvas),
+        -2.0 * max_canvas, 2.0 * max_canvas,
+    )
     x_min, y_min = np.floor(corners.min(axis=0))
     x_max, y_max = np.ceil(corners.max(axis=0))
     x_min = max(x_min, -float(max_canvas) / 2)

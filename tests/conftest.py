@@ -8,6 +8,10 @@ match the C++ reference bit-for-bit.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon remote-compile helper produces CPU AOT artifacts with host-feature
+# mismatches (SIGILL risk when loaded from the persistent cache); compile
+# locally for tests.
+os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "0"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags += " --xla_force_host_platform_device_count=8"

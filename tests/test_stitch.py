@@ -109,3 +109,38 @@ def test_blend_translation_pair():
     out = blend_warped([a, b], [np.eye(3), h_b_to_a])
     assert out.shape == (60, 100, 3)
     np.testing.assert_allclose(out, base, atol=1.0)
+
+
+def test_stitch_scene_end_to_end():
+    """Full scene driver on three overlapping crops of a real texture."""
+    import jax.numpy as jnp
+
+    from sift_tpu import SiftConfig
+    from sift_tpu.models.stitch import stitch_scene
+    from sift_tpu.utils.io import load_image
+    from sift_tpu.utils.stitch_graph import StitchGraph
+
+    tex = load_image(
+        "/root/reference/stitching/collection/Dataset/CAVE-01_atrium/05.jpg"
+    )
+    crops = [tex[:, 0:360], tex[:, 140:500], tex[:, 280:640]]
+    graph = StitchGraph(
+        center_index=1, center_rotation=0.0, images_count=3,
+        edges=((0, 1), (1, 2)),
+    )
+    cfg = SiftConfig(
+        dtype=jnp.float32, extrema_cap=1024, kp_cap=512, ori_cap=2048
+    )
+    pano = stitch_scene(crops, graph, cfg, num_hypotheses=1024)
+    # Canvas should cover roughly the full 640-wide scene at image height.
+    assert pano.shape[0] >= 440 and 600 <= pano.shape[1] <= 760, pano.shape
+    assert pano.std() > 10  # non-degenerate content
+    # Crops are pure translations of one scene: the mosaic must locally match
+    # the source.  Compare the central band against the original.
+    h, w = pano.shape[:2]
+    y0 = (h - 480) // 2 if h > 480 else 0
+    x0 = (w - 640) // 2 if w > 640 else 0
+    center = pano[y0 + 200 : y0 + 280, x0 + 200 : x0 + 440]
+    src = tex[200:280, 200:440]
+    err = np.abs(center - src).mean()
+    assert err < 20, err
