@@ -30,7 +30,7 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from sift_tpu import SiftConfig, detect_and_describe, match_descriptors
+    from sift_tpu import SiftConfig, match_descriptors
     from sift_tpu.utils.io import load_image
 
     cave = "/root/reference/stitching/collection/Dataset/CAVE-01_atrium"

@@ -47,14 +47,14 @@ def _dlt_matrix(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
 def _solve_h(a: jnp.ndarray) -> jnp.ndarray:
     """Least-squares null vector of (..., M, 9) -> (..., 3, 3) homography.
 
-    Uses the 9x9 normal equations + eigh (smallest eigenvector) instead of a
-    batched (M, 9) SVD: identical minimizer, but a tiny fixed-size eigencode
-    that XLA compiles and runs far faster than batched SVD on TPU.  Hartley
+    Normal equations + smallest eigenvector (geometry._min_eigvec): identical
+    minimizer to the SVD null vector but a tiny fixed-size eigensolve that
+    XLA compiles/runs far faster than batched SVD on TPU; Hartley
     normalization keeps the squared conditioning harmless.
     """
-    ata = jnp.einsum("...mi,...mj->...ij", a, a)
-    _, vecs = jnp.linalg.eigh(ata)
-    h = vecs[..., :, 0]  # eigenvector of the smallest eigenvalue
+    from sift_tpu.models.geometry import _min_eigvec
+
+    h = _min_eigvec(a)
     return h.reshape(*h.shape[:-1], 3, 3)
 
 

@@ -82,6 +82,49 @@ def test_cave_keypoint_sets(cave):
         assert byte_diffs == 0, f"{npz}: {byte_diffs} descriptor bytes differ"
 
 
+@pytest.mark.parametrize("pair", [("cave01", "cave02"), ("cave02", "cave03")])
+def test_more_scene_pairs_match_sets(pair):
+    """Match-set parity generalizes across the scene graph (01<->02, 02<->03)."""
+    a, b = pair
+    kpa = _detect(DATA / f"oracle_{a}.npz")
+    kpb = _detect(DATA / f"oracle_{b}.npz")
+    ra = _oracle_dict(DATA / f"oracle_{a}.npz")
+    rb = _oracle_dict(DATA / f"oracle_{b}.npz")
+    assert set(_final_dict(kpa)) == set(ra)
+    assert set(_final_dict(kpb)) == set(rb)
+
+    idx, accept, _, _ = match_descriptors(kpa.desc, kpa.valid, kpb.desc, kpb.valid)
+    accept = np.asarray(accept)
+    idx = np.asarray(idx)
+
+    da = np.stack(list(ra.values())).astype(np.int64)
+    db = np.stack(list(rb.values())).astype(np.int64)
+    d2 = (
+        (da * da).sum(1)[:, None] + (db * db).sum(1)[None, :] - 2 * (da @ db.T)
+    )
+    bi = d2.argmin(1)
+    best = d2[np.arange(len(da)), bi]
+    d2m = d2.copy()
+    d2m[np.arange(len(da)), bi] = 1 << 60
+    second = d2m.min(1)
+    acc_ref = 16 * best < 9 * second
+    assert int(accept.sum()) == int(acc_ref.sum())
+
+    keys_a = list(ra)
+    keys_b = list(rb)
+    ref_pairs = {(keys_a[i], keys_b[bi[i]]) for i in np.nonzero(acc_ref)[0]}
+    my_pairs = set()
+    for lane in np.nonzero(accept)[0]:
+        j = idx[lane]
+        my_pairs.add((
+            (float(kpa.x[lane]), float(kpa.y[lane]), float(kpa.size[lane]),
+             round(float(kpa.pori[lane]), 9)),
+            (float(kpb.x[j]), float(kpb.y[j]), float(kpb.size[j]),
+             round(float(kpb.pori[j]), 9)),
+        ))
+    assert my_pairs == ref_pairs
+
+
 def test_demo_pair_match_count():
     """The reference demo pair (755x499, 8 octaves): 1286/1430 keypoints,
     269 matches (BASELINE.md anchors)."""
