@@ -100,3 +100,27 @@ def test_robust_translation():
     t, inl = robust_translation(p1, p2, ok)
     assert inl > 100
     np.testing.assert_allclose(t, [7.0, -3.0], atol=0.2)
+
+
+def test_stitch_scene_cylindrical_end_to_end():
+    """Full cylindrical driver on three overlapping crops of a real photo
+    (translations exercise the estimation path; focal falls back cleanly)."""
+    import jax.numpy as jnp
+
+    from sift_tpu import SiftConfig
+    from sift_tpu.models.cylindrical import stitch_scene_cylindrical
+    from sift_tpu.utils.io import load_image
+    from sift_tpu.utils.stitch_graph import StitchGraph
+
+    tex = load_image(
+        "/root/reference/stitching/collection/Dataset/CAVE-01_atrium/05.jpg"
+    )
+    crops = [tex[:, 0:360], tex[:, 140:500], tex[:, 280:640]]
+    graph = StitchGraph(center_index=1, center_rotation=0.0, images_count=3,
+                        edges=((0, 1), (1, 2)))
+    cfg = SiftConfig(dtype=jnp.float32, extrema_cap=1024, kp_cap=512,
+                     ori_cap=2048)
+    pano = stitch_scene_cylindrical(crops, graph, cfg, focal=2000.0)
+    # Large focal => near-planar: the mosaic should span ~the full scene.
+    assert pano.shape[0] >= 400 and pano.shape[1] >= 560, pano.shape
+    assert pano.std() > 10
