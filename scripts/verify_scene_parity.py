@@ -87,7 +87,7 @@ def main() -> None:
     for path in dumps:
         frame = int(os.path.basename(path).split("_")[-1].split(".")[0])
         d, ref = oracle_dict(path)
-        img = d["input"]
+        img = d["input"].astype(np.float64)
         octaves = cfg.octaves_count(img.shape[1] * 2, img.shape[0] * 2)
         kp = detect_stages(jnp.asarray(img), cfg, octaves)["final"]
         kps[frame] = (kp, ref)

@@ -33,6 +33,13 @@ def read_dump(path: str) -> dict[str, np.ndarray]:
 if __name__ == "__main__":
     src, dst = sys.argv[1], sys.argv[2]
     arrays = read_dump(src)
+    # The decoded input pixels are integral u8 values stored as f64 by the
+    # reference Image; store them as uint8 (8x smaller fixtures).  Consumers
+    # cast back to float — values are identical.
+    if "input" in arrays:
+        inp = arrays["input"]
+        if np.array_equal(inp, np.round(inp)) and inp.min() >= 0 and inp.max() <= 255:
+            arrays["input"] = inp.astype(np.uint8)
     np.savez_compressed(dst, **arrays)
     print(f"{dst}: {len(arrays)} arrays")
     for k, v in list(arrays.items())[:12]:

@@ -28,7 +28,7 @@ CFG = SiftConfig(dtype=jnp.float64)
 def _detect(npz_path) -> "Keypoints":
     # Feed the oracle's stb-decoded pixels (JPEG decoders differ between
     # stb_image and libjpeg; the parity contract covers the pipeline).
-    img = dict(np.load(npz_path))["input"]
+    img = dict(np.load(npz_path))["input"].astype(np.float64)
     h, w = img.shape[:2]
     octaves = CFG.octaves_count(w * 2, h * 2)
     return detect_stages(jnp.asarray(img), CFG, octaves)["final"]

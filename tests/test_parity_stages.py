@@ -35,7 +35,7 @@ def case(request):
     _, npz_path = CASES[request.param]
     oracle = dict(np.load(npz_path))
     # Use the oracle's own stb-decoded pixels (JPEG decoders differ).
-    img = oracle["input"]
+    img = oracle["input"].astype(np.float64)
     octaves = int(oracle["octaves_count"][0])
     stages = detect_stages(jnp.asarray(img), CFG, octaves)
     return oracle, stages, img
