@@ -65,6 +65,9 @@ static bool decode_jpeg(const char* path, DecodedImage* out) {
     cinfo.err = jpeg_std_error(&jerr.mgr);
     jerr.mgr.error_exit = jpeg_err_exit;
     if (setjmp(jerr.jb)) {
+        // A longjmp after allocation must not leak the partial pixel buffer.
+        free(out->data);
+        out->data = nullptr;
         jpeg_destroy_decompress(&cinfo);
         fclose(f);
         return false;
@@ -106,6 +109,8 @@ static bool decode_png(const char* path, DecodedImage* out) {
     }
     png_infop info = png_create_info_struct(png);
     if (setjmp(png_jmpbuf(png))) {
+        free(out->data);
+        out->data = nullptr;
         png_destroy_read_struct(&png, &info, nullptr);
         fclose(f);
         return false;

@@ -165,7 +165,9 @@ def stitch_scene_cylindrical(
         h, _, _ = ransac_homography(p1, p2, ok, 1024)
         hs.append(h)
     hs_host = np.asarray(jnp.stack(hs), np.float64) if hs else np.zeros((0, 3, 3))
-    f = focal if focal is not None else estimate_focal(list(hs_host), images[0].shape[1])
+    f = focal if focal is not None else estimate_focal(
+        list(hs_host), images[0].shape[1], images[0].shape[0]
+    )
 
     # Pass 2: cylindrical prewarp + translation estimation on warped images.
     warped = []

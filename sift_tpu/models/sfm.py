@@ -207,6 +207,11 @@ def run_sfm_from_matches(
             jnp.asarray(X, jnp.float32), jnp.asarray(x, jnp.float32),
             jnp.asarray(v), 1024, 8e-3, seed + f,
         )
+        # Gate on PnP consensus: a frame with essentially no inliers would
+        # seed triangulation and BA with a garbage pose.
+        n_cand = int(np.count_nonzero(v))
+        if int(cnt) < max(6, n_cand // 10):
+            continue
         poses[f, :3] = np.asarray(rvec, np.float64)
         poses[f, 3:] = np.asarray(tvec, np.float64)
         registered.append(f)

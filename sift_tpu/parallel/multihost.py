@@ -38,9 +38,12 @@ def initialize(
     Environment fallbacks: JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES,
     JAX_PROCESS_ID (also auto-detected on Cloud TPU pods).
     """
+    # NOTE: must not touch any jax API that instantiates a backend (e.g.
+    # jax.process_count()) before jax.distributed.initialize — initialize
+    # raises if a backend already exists.  Idempotency is tracked purely by
+    # the module flag.
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return
     kwargs = {}
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
@@ -54,10 +57,11 @@ def initialize(
         jax.distributed.initialize(**kwargs)
     elif os.environ.get("TPU_WORKER_HOSTNAMES"):
         # Pod auto-detection; tolerate single-process/debug environments
-        # where the backend is already up.
+        # (backend already up -> RuntimeError; no derivable coordinator ->
+        # ValueError).
         try:
             jax.distributed.initialize()
-        except RuntimeError:
+        except (RuntimeError, ValueError):
             pass
     _initialized = True
 
@@ -69,7 +73,9 @@ def fleet_barrier(timeout_note: str = "") -> int:
     call block/timeout, which is the failure-detection signal multi-host
     drivers act on (drop to the surviving mesh + resume from checkpoints).
     """
-    n = jax.device_count()
+    # pmap maps over *local* devices only; psum over the named axis still
+    # reduces across every process, so the result is the global count.
+    n = jax.local_device_count()
     x = jnp.ones((n,))
     out = jax.pmap(lambda v: jax.lax.psum(v, "i"), axis_name="i")(x)
     return int(np.asarray(out)[0])
