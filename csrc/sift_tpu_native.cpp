@@ -353,6 +353,14 @@ void sift_draw_keypoints(float* img, int w, int h, int c, const double* xs,
     }
 }
 
+// Vectorized glibc pow(2, x): the f64 parity profile recomputes keypoint
+// sizes with the exact libm the reference binary linked (XLA's exp2 and
+// numpy's SIMD pow both deviate by 1 ulp on a fraction of inputs; see
+// models/sift._host_exact_sizes and src/sift.cpp:427-429).
+void sift_pow2(const double* x, double* out, int n) {
+    for (int i = 0; i < n; ++i) out[i] = pow(2.0, x[i]);
+}
+
 void sift_draw_match_lines(float* img, int w, int h, int c, const double* x1s,
                            const double* y1s, const double* x2s,
                            const double* y2s, int n, int x_offset, int color) {

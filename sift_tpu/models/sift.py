@@ -228,15 +228,20 @@ def _host_exact_sizes(kp: Keypoints, off0, octave: int, cfg: SiftConfig) -> Keyp
     """
     import math
 
+    from sift_tpu.utils.native import pow2_glibc
+
     size = np.asarray(kp.size).copy()
-    layer = np.asarray(kp.layer)
-    off = np.asarray(off0)
+    layer = np.asarray(kp.layer).astype(np.float64)
+    off = np.asarray(off0).astype(np.float64)
     valid = np.asarray(kp.valid)
     scale = cfg.init_sigma * math.pow(2, octave)
-    for i in np.nonzero(valid)[0]:
-        size[i] = scale * math.pow(
-            2, (float(layer[i]) + float(off[i])) / cfg.intervals
-        )
+    t = (layer + off) / float(cfg.intervals)
+    p = pow2_glibc(t)  # vectorized libm pow(2, .), bit-equal to math.pow
+    if p is not None:
+        size = np.where(valid, scale * p, size)
+    else:
+        for i in np.nonzero(valid)[0]:
+            size[i] = scale * math.pow(2, float(t[i]))
     return dataclasses.replace(kp, size=jnp.asarray(size))
 
 

@@ -81,6 +81,10 @@ def _lib():
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
+    lib.sift_pow2.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int,
+    ]
     _LIB = lib
     return _LIB
 
@@ -159,6 +163,25 @@ class ImageLoader:
 
     def __del__(self):
         self.close()
+
+
+def pow2_glibc(x: np.ndarray) -> np.ndarray | None:
+    """Elementwise glibc pow(2, x) on float64; None if the lib is missing.
+
+    Bit-identical to Python's math.pow(2, .) per element (both call libm),
+    unlike np.power whose SIMD path rounds differently on ~5% of inputs.
+    """
+    lib = _lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.float64)
+    out = np.empty_like(x)
+    lib.sift_pow2(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        x.size,
+    )
+    return out.reshape(x.shape)
 
 
 def draw_keypoints_native(img: np.ndarray, kps: dict, scales_count: float):
