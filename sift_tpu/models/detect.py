@@ -22,8 +22,39 @@ import jax
 import jax.numpy as jnp
 
 from sift_tpu.config import SiftConfig
+from sift_tpu.ops.gather import build_block_rows, compact_mask, gather_cubes
 from sift_tpu.utils.keypoints import Keypoints
 from sift_tpu.utils.numerics import round_half_away, xdiv
+
+
+def extremum_mask(
+    dog: jnp.ndarray, threshold: float, window_size: int = 3
+) -> jnp.ndarray:
+    """Boolean 26-neighbor extremum mask over the interior of a (D, H, W)
+    DoG stack (shape (D-2b, H-2b, W-2b)).
+
+    Matches src/sift.cpp:227-291: a pixel is an extremum if it is >= all
+    window neighbors or <= all of them (ties allowed), and |pixel| > threshold
+    (threshold compare at src/sift.cpp:279 skips |p| <= thr).  The window
+    min/max is computed as three separable shift-reductions, which XLA maps
+    onto plain VPU ops (measured faster than reduce_window on v5e).
+    """
+    w = window_size
+    b = w // 2
+
+    def pool1(a, axis, op):
+        out = None
+        for u in range(-b, b + 1):
+            sl = [slice(None)] * 3
+            sl[axis] = slice(u + b, a.shape[axis] + u - b)
+            piece = a[tuple(sl)]
+            out = piece if out is None else op(out, piece)
+        return out
+
+    wmax = pool1(pool1(pool1(dog, 2, jnp.maximum), 1, jnp.maximum), 0, jnp.maximum)
+    wmin = pool1(pool1(pool1(dog, 2, jnp.minimum), 1, jnp.minimum), 0, jnp.minimum)
+    center = dog[b:-b, b:-b, b:-b]
+    return (jnp.abs(center) > threshold) & ((center >= wmax) | (center <= wmin))
 
 
 def detect_octave_extrema(
@@ -31,28 +62,12 @@ def detect_octave_extrema(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Find 26-neighbor extrema of a (D, H, W) DoG stack.
 
-    Matches src/sift.cpp:227-291: a pixel is an extremum if it is >= all
-    window neighbors or <= all of them (ties allowed), and |pixel| > threshold
-    (threshold compare at src/sift.cpp:279 skips |p| <= thr).
-
-    Returns (zyx (cap, 3) int32, valid (cap,) bool).
+    Returns (zyx (cap, 3) int32, valid (cap,) bool) in ascending
+    (z, y, x)-lexicographic order.
     """
-    w = window_size
-    b = w // 2
-    wmax = jax.lax.reduce_window(
-        dog, -jnp.inf, jax.lax.max, (w, w, w), (1, 1, 1), "VALID"
-    )
-    wmin = jax.lax.reduce_window(
-        dog, jnp.inf, jax.lax.min, (w, w, w), (1, 1, 1), "VALID"
-    )
-    center = dog[b:-b, b:-b, b:-b]
-    is_ext = (jnp.abs(center) > threshold) & ((center >= wmax) | (center <= wmin))
-
-    flat = is_ext.reshape(-1)
-    n = flat.shape[0]
-    idx = jnp.nonzero(flat, size=cap, fill_value=n)[0]
-    valid = idx < n
-    idx = jnp.minimum(idx, n - 1)
+    b = window_size // 2
+    is_ext = extremum_mask(dog, threshold, window_size)
+    idx, valid = compact_mask(is_ext.reshape(-1), cap)
     d2, h2, w2 = is_ext.shape
     z = idx // (h2 * w2)
     y = (idx // w2) % h2
@@ -61,13 +76,14 @@ def detect_octave_extrema(
     return zyx, valid
 
 
-def _gather_cubes(dog: jnp.ndarray, zyx: jnp.ndarray) -> jnp.ndarray:
-    """(N, 3, 3, 3) cubes (axes dz, dy, dx), values / 255 (src/sift.cpp:39)."""
+def _gather_cubes(dog_rows, zyx: jnp.ndarray) -> jnp.ndarray:
+    """(N, 3, 3, 3) cubes (axes dz, dy, dx), values / 255 (src/sift.cpp:39).
 
-    def one(p):
-        return jax.lax.dynamic_slice(dog, (p[0] - 1, p[1] - 1, p[2] - 1), (3, 3, 3))
-
-    cubes = jax.vmap(one)(zyx)
+    ``dog_rows``: BlockRows layout of the DoG stack (ops/gather.py) — row
+    gathers + one-hot extraction replace the scalar-gather slow path of
+    vmapped dynamic_slice (153 ms -> 20 ms for 8192 cubes, batch 8).
+    """
+    cubes = gather_cubes(dog_rows, zyx)
     return xdiv(cubes, 255.0)
 
 
@@ -136,6 +152,7 @@ def refine_octave_keypoints(
     border = cfg.window_size // 2
     dtype = dog.dtype
     n = zyx.shape[0]
+    dog_rows = build_block_rows(dog)
 
     zero = jnp.zeros((n,), dtype)
     state = dict(
@@ -149,7 +166,7 @@ def refine_octave_keypoints(
     )
 
     def step(st):
-        cubes = _gather_cubes(dog, st["pos"])
+        cubes = _gather_cubes(dog_rows, st["pos"])
         g = _gradient(cubes)
         h = _hessian(cubes)
         off = _fit_quadratic(g, h)

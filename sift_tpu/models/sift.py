@@ -27,6 +27,7 @@ from sift_tpu.models.descriptor import compute_octave_descriptors
 from sift_tpu.models.detect import detect_octave_extrema, refine_octave_keypoints
 from sift_tpu.models.orient import orient_octave_keypoints
 from sift_tpu.models.pyramid import build_pyramids, compute_initial_image
+from sift_tpu.ops.gather import compact_mask
 from sift_tpu.utils import keypoints as kputil
 from sift_tpu.utils.keypoints import Keypoints
 
@@ -59,9 +60,8 @@ def detect_fn(img: jnp.ndarray, cfg: SiftConfig, octaves: int) -> Keypoints:
     for o in range(octaves):
         sel = allkp.valid & (allkp.octave == o)
         cap_o = 2 * cfg.kp_cap_for_octave(o)
-        idx = jnp.nonzero(sel, size=cap_o, fill_value=n)[0]
-        in_range = idx < n
-        idx_c = jnp.minimum(idx, n - 1)
+        idx_c, in_range = compact_mask(sel, cap_o)
+        idx = jnp.where(in_range, idx_c, n)
         sub = jax.tree.map(lambda a: jnp.take(a, idx_c, axis=0), allkp)
         sub = dataclasses.replace(sub, valid=sub.valid & in_range)
         desc = compute_octave_descriptors(gaussians[o], sub, o, cfg)
@@ -131,9 +131,8 @@ def _jit_octave_descriptors_batch(gauss, allkp, cfg: SiftConfig, octave: int):
         n = kp.capacity
         sel = kp.valid & (kp.octave == octave)
         cap_o = 2 * cfg.kp_cap_for_octave(octave)
-        idx = jnp.nonzero(sel, size=cap_o, fill_value=n)[0]
-        in_range = idx < n
-        idx_c = jnp.minimum(idx, n - 1)
+        idx_c, in_range = compact_mask(sel, cap_o)
+        idx = jnp.where(in_range, idx_c, n)
         sub = jax.tree.map(lambda a: jnp.take(a, idx_c, axis=0), kp)
         sub = dataclasses.replace(sub, valid=sub.valid & in_range)
         desc = compute_octave_descriptors(g, sub, octave, cfg)
@@ -211,9 +210,8 @@ def _jit_octave_descriptors(gauss, allkp, cfg: SiftConfig, octave: int):
     n = allkp.capacity
     sel = allkp.valid & (allkp.octave == octave)
     cap_o = 2 * cfg.kp_cap_for_octave(octave)
-    idx = jnp.nonzero(sel, size=cap_o, fill_value=n)[0]
-    in_range = idx < n
-    idx_c = jnp.minimum(idx, n - 1)
+    idx_c, in_range = compact_mask(sel, cap_o)
+    idx = jnp.where(in_range, idx_c, n)
     sub = jax.tree.map(lambda a: jnp.take(a, idx_c, axis=0), allkp)
     sub = dataclasses.replace(sub, valid=sub.valid & in_range)
     desc = compute_octave_descriptors(gauss, sub, octave, cfg)

@@ -1,0 +1,267 @@
+"""TPU-fast gather and mask-compaction primitives.
+
+Motivation (measured on TPU v5 lite, scripts/probe_rewrites.py): XLA lowers
+per-element ``jnp.nonzero`` / vmapped ``dynamic_slice`` to the scalar-gather
+slow path (~13 M elem/s), while *row* gathers — indexing whole 128-lane-wide
+rows — run the DMA fast path (~175 GB/s).  These helpers reformulate the two
+patterns that dominated the SIFT pipeline:
+
+1. ``compact_mask``: indices of the first ``cap`` set bits of a boolean mask.
+   Drop-in for ``jnp.nonzero(mask, size=cap, fill_value=n)`` but built from a
+   two-stage row scheme: per-row popcounts -> cumulative sum -> searchsorted
+   locates the row of the k-th bit, then one row gather + an in-row prefix
+   rank picks the lane.  12x faster than ``nonzero`` on a 6M-element mask
+   (275 ms -> 23 ms for a batch of 8).
+
+2. ``BlockRows``: an overlapping twin-block relayout of a (S, H, W) stack so
+   that any aligned window of up to ``blk + 1`` consecutive columns lives
+   inside one (2 * blk)-lane row.  Small-window gathers (the 3x3x3 Newton
+   cubes of detect.py, the orientation/descriptor patches) become row
+   gathers + an exact one-hot column extraction on the MXU
+   (``precision=HIGHEST``; DEFAULT would round f32 values to bf16).
+   8x faster than vmapped ``dynamic_slice`` for 8192 cubes (153 ms -> 20 ms).
+
+Both are bit-exact replacements (pure data movement; the one-hot contraction
+multiplies by exactly 1.0), so the f64 parity profile is unaffected.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+def compact_mask(
+    flat: jnp.ndarray, cap: int, row_width: int | None = None
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Ascending indices of the first ``cap`` True lanes of ``flat``.
+
+    Returns ``(idx, valid)`` with ``idx`` int32 clamped into ``[0, n-1]`` and
+    ``valid[k]`` iff the mask has more than ``k`` set bits — the exact
+    semantics of the ``jnp.nonzero(flat, size=cap, fill_value=n)`` +
+    ``idx < n`` + ``min(idx, n - 1)`` pattern it replaces.
+    """
+    n = flat.shape[0]
+    if row_width is None:
+        row_width = 1024 if n >= (1 << 20) else 256
+    rw = min(row_width, max(128, n))
+    nr = -(-n // rw)
+    pad = nr * rw - n
+    m2d = flat
+    if pad:
+        m2d = jnp.concatenate([m2d, jnp.zeros((pad,), bool)])
+    m2d = m2d.reshape(nr, rw)
+
+    cnt = jnp.sum(m2d, axis=1, dtype=jnp.int32)
+    csum = jnp.cumsum(cnt)  # inclusive
+    k = jnp.arange(cap, dtype=jnp.int32)
+    # Row containing the (k+1)-th set bit: first row with csum > k.
+    row = jnp.searchsorted(csum, k, side="right").astype(jnp.int32)
+    rowc = jnp.minimum(row, nr - 1)
+    base = jnp.where(row > 0, csum[jnp.maximum(row - 1, 0)], 0)
+    rank = k - base  # 0-based rank within the row
+    rows = m2d[rowc]  # (cap, rw) row gather — the fast path
+    pref = jnp.cumsum(rows.astype(jnp.int32), axis=1)
+    hit = rows & (pref == (rank[:, None] + 1))
+    inrow = jnp.argmax(hit, axis=1).astype(jnp.int32)
+    idx = rowc * rw + inrow
+    valid = k < csum[-1]
+    return jnp.minimum(jnp.where(valid, idx, n - 1), n - 1), valid
+
+
+def compact_mask_total(
+    flat: jnp.ndarray, cap: int, row_width: int | None = None
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """``compact_mask`` + the total number of set bits (for overflow checks)."""
+    idx, valid = compact_mask(flat, cap, row_width)
+    return idx, valid, jnp.sum(flat, dtype=jnp.int32)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BlockRows:
+    """Twin-block row layout of a (S, H, W) stack.
+
+    ``rows[(s * H + y) * nb + b]`` holds columns ``[b * blk, b * blk + 2 * blk)``
+    of image row ``(s, y)`` (zero-padded past W).  Any window of ``w`` columns
+    starting at ``x0`` with ``x0 - blk * (x0 // blk) + w <= 2 * blk`` lies in
+    block ``b = x0 // blk``.
+    """
+
+    rows: jnp.ndarray  # (S * H * nb, 2 * blk)
+    shape: tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
+    blk: int = dataclasses.field(metadata=dict(static=True))
+    nb: int = dataclasses.field(metadata=dict(static=True))
+
+
+def build_block_rows(vol: jnp.ndarray, blk: int = 128) -> BlockRows:
+    """Relayout a (S, H, W) stack into overlapping twin-block rows."""
+    s, h, w = vol.shape
+    nb = -(-w // blk)
+    p = jnp.pad(vol, ((0, 0), (0, 0), (0, (nb + 1) * blk - w)))
+    a = p.reshape(s, h, nb + 1, blk)
+    twin = jnp.concatenate([a[:, :, :-1, :], a[:, :, 1:, :]], axis=-1)
+    return BlockRows(
+        rows=twin.reshape(s * h * nb, 2 * blk), shape=(s, h, w), blk=blk, nb=nb
+    )
+
+
+def extract_cols(
+    g: jnp.ndarray, ox: jnp.ndarray, width: int
+) -> jnp.ndarray:
+    """Exact per-row column windows: out[n, r, c] = g[n, r, ox[n] + c].
+
+    One-hot contraction on the MXU; HIGHEST precision makes the multiply by
+    1.0 exact in f32 (DEFAULT would truncate operands to bf16).
+    """
+    lanes = jnp.arange(g.shape[-1], dtype=jnp.int32)
+    oh = (
+        lanes[None, :, None] == (ox[:, None, None] + jnp.arange(width)[None, None, :])
+    ).astype(g.dtype)
+    return jnp.einsum(
+        "nrl,nlc->nrc", g, oh, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def gather_cubes(br: BlockRows, zyx: jnp.ndarray) -> jnp.ndarray:
+    """(N, 3, 3, 3) cubes cube[n, a, b, c] = vol[z+a-1, y+b-1, x+c-1].
+
+    Positions must satisfy 1 <= z <= S-2, 1 <= y <= H-2, 1 <= x <= W-2
+    (detect clamps to the window border, so this always holds).
+    """
+    _, h, _ = br.shape
+    z, y, x = zyx[:, 0], zyx[:, 1], zyx[:, 2]
+    b = jnp.clip((x - 1) // br.blk, 0, br.nb - 1)
+    ox = x - 1 - b * br.blk
+    d3 = jnp.arange(-1, 2)
+    ridx = (
+        (z[:, None, None] + d3[None, :, None]) * h
+        + (y[:, None, None] + d3[None, None, :])
+    ) * br.nb + b[:, None, None]
+    g = br.rows[ridx.reshape(-1)].reshape(-1, 9, 2 * br.blk)
+    cube = extract_cols(g, ox, 3)
+    return cube.reshape(-1, 3, 3, 3)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MultiRows:
+    """Block-rows layout of SEVERAL (S, H_o, W_o) stacks (one per octave),
+    concatenated along the row axis so one gather space serves every octave.
+
+    Rows of volume ``o`` start at static offset ``bases[o]``; the in-volume
+    index of image row (s, y) block b is ``(s * H_o + y) * nbs[o] + b``.
+    """
+
+    rows: jnp.ndarray  # (sum_o S_o * H_o * nbs_o, 2 * blk)
+    shapes: tuple = dataclasses.field(metadata=dict(static=True))
+    blk: int = dataclasses.field(metadata=dict(static=True))
+    nbs: tuple = dataclasses.field(metadata=dict(static=True))
+    bases: tuple = dataclasses.field(metadata=dict(static=True))
+
+
+def build_multi_rows(vols: list[jnp.ndarray], blk: int = 128) -> MultiRows:
+    brs = [build_block_rows(v, blk) for v in vols]
+    bases = []
+    acc = 0
+    for br in brs:
+        bases.append(acc)
+        acc += br.rows.shape[0]
+    return MultiRows(
+        rows=jnp.concatenate([br.rows for br in brs], axis=0),
+        shapes=tuple(br.shape for br in brs),
+        blk=blk,
+        nbs=tuple(br.nb for br in brs),
+        bases=tuple(bases),
+    )
+
+
+def lut(values, sel: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Per-lane lookup of a tiny static table: out[i] = values[sel[i]].
+
+    Unrolled compare-select chain (tables here have <= 10 octave entries),
+    which stays on the VPU instead of the scalar-gather path.
+    """
+    out = jnp.full(sel.shape, values[0], dtype)
+    for o in range(1, len(values)):
+        out = jnp.where(sel == o, jnp.asarray(values[o], dtype), out)
+    return out
+
+
+def gather_cubes_multi(
+    mr: MultiRows, oct_id: jnp.ndarray, zyx: jnp.ndarray
+) -> jnp.ndarray:
+    """(N, 3, 3, 3) cubes from per-lane octave volumes (interior positions)."""
+    h = lut([s[1] for s in mr.shapes], oct_id, jnp.int32)
+    nb = lut(mr.nbs, oct_id, jnp.int32)
+    base = lut(mr.bases, oct_id, jnp.int32)
+    z, y, x = zyx[:, 0], zyx[:, 1], zyx[:, 2]
+    b = jnp.clip((x - 1) // mr.blk, 0, nb - 1)
+    ox = x - 1 - b * mr.blk
+    d3 = jnp.arange(-1, 2)
+    ridx = base[:, None, None] + (
+        (z[:, None, None] + d3[None, :, None]) * h[:, None, None]
+        + (y[:, None, None] + d3[None, None, :])
+    ) * nb[:, None, None] + b[:, None, None]
+    g = mr.rows[ridx.reshape(-1)].reshape(-1, 9, 2 * mr.blk)
+    return extract_cols(g, ox, 3).reshape(-1, 3, 3, 3)
+
+
+def gather_patches_multi(
+    mr: MultiRows,
+    oct_id: jnp.ndarray,
+    layer: jnp.ndarray,
+    ys0: jnp.ndarray,
+    xs0: jnp.ndarray,
+    patch: int,
+) -> jnp.ndarray:
+    """(N, patch, patch) patches p[n, a, b] = vol_o[layer, ys0 + a, xs0 + b].
+
+    ``ys0`` / ``xs0`` may run past the volume (including negative): columns
+    outside [0, W_o) read as 0 exactly like a zero-padded stack (left edge via
+    the one-hot extraction, right edge via the block zero padding); rows
+    outside [0, H_o) are CLAMPED — callers must mask those samples (both
+    orientation and descriptor windows already mask samples whose 1-pixel
+    gradient neighborhood leaves the image, which subsumes this).
+    Requires patch <= blk + 1.
+    """
+    h = lut([s[1] for s in mr.shapes], oct_id, jnp.int32)
+    nb = lut(mr.nbs, oct_id, jnp.int32)
+    base = lut(mr.bases, oct_id, jnp.int32)
+    b = jnp.clip(xs0 // mr.blk, 0, nb - 1)
+    ox = xs0 - b * mr.blk
+    aa = jnp.arange(patch)
+    ys = jnp.clip(ys0[:, None] + aa[None, :], 0, h[:, None] - 1)
+    ridx = base[:, None] + (layer[:, None] * h[:, None] + ys) * nb[:, None] + b[:, None]
+    g = mr.rows[ridx.reshape(-1)].reshape(-1, patch, 2 * mr.blk)
+    return extract_cols(g, ox, patch)
+
+
+def gather_patches_rows(
+    br: BlockRows,
+    layer: jnp.ndarray,
+    y: jnp.ndarray,
+    x: jnp.ndarray,
+    patch: int,
+    extract: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Patches from a pre-padded stack laid out as block rows.
+
+    With ``extract``: returns ``(p (N, patch, patch), ox)`` where
+    ``p[n, a, b] = vol[layer, y + a, x + b]``.  Without: returns the raw
+    ``(N, patch, 2 * blk)`` rows plus the per-lane column offset ``ox`` so
+    callers can compute directly on the wide rows with lane masks (saves the
+    extraction matmul when the consumer reduces over columns anyway).
+    Requires ``patch <= blk + 1``.
+    """
+    _, h, _ = br.shape
+    b = jnp.clip(x // br.blk, 0, br.nb - 1)
+    ox = x - b * br.blk
+    aa = jnp.arange(patch)
+    ridx = ((layer[:, None] * h + y[:, None] + aa[None, :]) * br.nb) + b[:, None]
+    g = br.rows[ridx.reshape(-1)].reshape(-1, patch, 2 * br.blk)
+    if extract:
+        return extract_cols(g, ox, patch), ox
+    return g, ox

@@ -99,11 +99,14 @@ def sort_and_dedup(kp: Keypoints) -> Keypoints:
 
 
 def compact_indices(valid: jnp.ndarray, out_cap: int):
-    """Indices packing valid lanes front-first: (idx, in_range)."""
-    n = valid.shape[0]
-    idx = jnp.nonzero(valid, size=out_cap, fill_value=n)[0]
-    in_range = idx < n
-    return jnp.minimum(idx, n - 1), in_range
+    """Indices packing valid lanes front-first: (idx, in_range).
+
+    Uses the two-stage row compaction (ops/gather.compact_mask), which avoids
+    the TPU scalar-gather slow path that ``jnp.nonzero`` lowers to.
+    """
+    from sift_tpu.ops.gather import compact_mask
+
+    return compact_mask(valid, out_cap)
 
 
 def compact(kp: Keypoints, out_cap: int, extra=None):
