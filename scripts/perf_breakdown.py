@@ -89,28 +89,27 @@ def main() -> None:
               flush=True)
         return fn()
 
-    # --- stage-by-stage (mirrors detect_and_describe_batch) ---
+    # --- stage-by-stage (mirrors the fused detect_and_describe_batch) ---
     gaussians, dogs = add(
         "pyramids (init+gauss+dog)",
         lambda: S._jit_pyramids_batch(imgs, cfg, octaves),
     )
-    oriented = []
-    for o in range(octaves):
-        oriented.append(add(
-            f"octave{o} extrema+refine+orient",
-            lambda o=o: S._jit_octave_pipeline_batch(dogs[o], gaussians[o], cfg, o),
-        ))
-    cat = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1), *oriented)
-    allkp = add("dedup (sort+unique)", lambda: S._jit_dedup_batch(cat))
-    allkp = add("compact to ori_cap", lambda: S._jit_compact_batch(allkp, cfg.ori_cap))
-    desc_all = allkp.desc
-    for o in range(octaves):
-        desc_all = add(
-            f"octave{o} descriptors",
-            lambda o=o, d=desc_all: S._jit_octave_descriptors_batch(
-                gaussians[o], dataclasses.replace(allkp, desc=d), cfg, o
-            ),
-        )
+    kp0, _off0, counts = add(
+        "detect+refine (all octaves)",
+        lambda: S._jit_detect_refine_batch(dogs, cfg),
+    )
+    mr = add("gauss MultiRows relayout", lambda: S._jit_gauss_rows_batch(gaussians))
+    cand, _n = add(
+        "orientation (all octaves)", lambda: S._jit_orient_batch(mr, kp0, cfg)
+    )
+    allkp = add(
+        "dedup (sort+unique) + compact",
+        lambda: S._jit_dedup_compact_batch(cand, cfg.ori_cap),
+    )
+    desc_all = add(
+        "descriptors (all octaves)",
+        lambda: S._jit_desc_all_batch(mr, allkp, cfg),
+    )
     kp = dataclasses.replace(allkp, desc=desc_all)
 
     # --- matcher: XLA vs Pallas on the production capacities ---

@@ -19,9 +19,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from sift_tpu import SiftConfig
 from sift_tpu.models import sift as S
 from sift_tpu.models.detect import detect_octave_extrema, refine_octave_keypoints
-from sift_tpu.models.orient import (
-    gather_patches, orient_octave_keypoints, ori_radius_bound, pad_stack,
-)
+from sift_tpu.models.orient import orient_octave_keypoints, ori_radius_bound
+from sift_tpu.ops.gather import build_multi_rows, gather_patches_multi
 from sift_tpu.utils import keypoints as kputil
 from sift_tpu.utils.io import load_image
 
@@ -85,7 +84,11 @@ x = jnp.clip(round_half_away(k1.x * pow_denom).astype(jnp.int32), 0, g1.shape[-1
 y = jnp.clip(round_half_away(k1.y * pow_denom).astype(jnp.int32), 0, g1.shape[-2] - 1)
 lay = jnp.clip(k1.layer, 0, g1.shape[0] - 1)
 
-f_pad = jax.jit(lambda g: pad_stack(g, r_max))
-padded = timeit("pad stack (1 img)", lambda: f_pad(g1))
-f_gat = jax.jit(lambda p, l, yy, xx: gather_patches(p, l, yy, xx, r_max))
-timeit("patch gather 4096x37x37 (1 img)", lambda: f_gat(padded, lay, y, x))
+f_mr = jax.jit(lambda g: build_multi_rows([g]))
+mr1 = timeit("rows build (1 img)", lambda: f_mr(g1))
+f_gat = jax.jit(
+    lambda m, l, yy, xx: gather_patches_multi(
+        m, jnp.zeros_like(l), l, yy - r_max - 1, xx - r_max - 1, 2 * r_max + 3
+    )
+)
+timeit("patch gather 4096x37x37 (1 img)", lambda: f_gat(mr1, lay, y, x))

@@ -12,6 +12,10 @@ orientation factor — hist[r, c, o] = sum_s R[s, r] * C[s, c] * O[s, o].  The
 per-contribution multiply chain keeps the reference order
 ((magnitude * f_r) * f_c) * f_o.  Keypoints are processed in ``lax.map``
 chunks to bound the (chunk, S^2, 16) intermediate.
+
+Fused path: ``compute_descriptors_all`` handles a mixed-octave buffer in ONE
+program (per-lane 2^-octave / image-dim tables + MultiRows patch gathers),
+replacing 8 per-octave select+compute+scatter programs.
 """
 
 from __future__ import annotations
@@ -29,7 +33,8 @@ from sift_tpu.config import (
     M_PI2,
     SiftConfig,
 )
-from sift_tpu.models.orient import gather_patches, max_size_octave, pad_stack
+from sift_tpu.models.orient import max_size_octave
+from sift_tpu.ops.gather import MultiRows, build_multi_rows, gather_patches_multi, lut
 from sift_tpu.utils.keypoints import Keypoints
 from sift_tpu.utils.numerics import round_half_away
 
@@ -42,23 +47,33 @@ def desc_radius_bound(cfg: SiftConfig) -> int:
     return int(math.ceil(hw * 0.5 * math.sqrt(2.0) * (DESC_HIST_WIDTH + 1.0) + 1.0))
 
 
-def compute_octave_descriptors(
-    gauss: jnp.ndarray, kp: Keypoints, octave: int, cfg: SiftConfig
+def compute_descriptors_all(
+    mr: MultiRows,
+    kp: Keypoints,
+    cfg: SiftConfig,
+    chunk: int = DESC_CHUNK,
+    octave_of_volume: tuple[int, ...] | None = None,
 ) -> jnp.ndarray:
-    """Descriptors for one octave's keypoints: (N, 128) uint8.
+    """Descriptors for a mixed-octave keypoint buffer: (N, 128) uint8.
 
-    ``kp`` holds post-dedup keypoints of this octave in input-image coords.
+    ``kp`` holds post-dedup keypoints in input-image coords; ``mr`` is the
+    MultiRows layout of the per-octave gaussian stacks (unpadded — column
+    zero-fill and row clamping are masked exactly like the reference's border
+    test at src/sift.cpp:655-660).
     """
-    dtype = gauss.dtype
-    height, width = gauss.shape[-2], gauss.shape[-1]
+    dtype = kp.x.dtype
+    octaves = len(mr.shapes)
     r_max = desc_radius_bound(cfg)
     n = kp.capacity
+    oov = octave_of_volume or tuple(range(octaves))
+    oct_sel = jnp.clip(kp.octave - oov[0], 0, octaves - 1)
 
     # src/sift.cpp:620-625: coords were already halved, hence octave-1.
     if cfg.double_image_size:
-        pow_denom = 1.0 / math.pow(2, octave - 1)
+        pden = [1.0 / math.pow(2, o - 1) for o in oov]
     else:
-        pow_denom = 1.0 / math.pow(2, octave)
+        pden = [1.0 / math.pow(2, o) for o in oov]
+    pow_denom = lut(pden, oct_sel, dtype)
     x = (kp.x * pow_denom).astype(jnp.int32)  # C int truncation (src/sift.cpp:623)
     y = (kp.y * pow_denom).astype(jnp.int32)
     size = kp.size * pow_denom
@@ -73,26 +88,33 @@ def compute_octave_descriptors(
     tmp_radius = round_half_away(
         hist_width * 0.5 * math.sqrt(2.0) * (DESC_HIST_WIDTH + 1.0) + 0.5
     )
-    diag = math.sqrt(width * width + height * height)
-    radius = jnp.minimum(tmp_radius, jnp.asarray(diag, dtype)).astype(jnp.int32)
+    # Clamp to the image diagonal (src/sift.cpp:636-639), per-lane by octave.
+    diag = lut(
+        [math.sqrt(s[2] * s[2] + s[1] * s[1]) for s in mr.shapes], oct_sel, dtype
+    )
+    radius = jnp.minimum(tmp_radius, diag).astype(jnp.int32)
 
-    padded = pad_stack(gauss, r_max)
-    layer_c = jnp.clip(kp.layer, 0, gauss.shape[0] - 1)
-    xc = jnp.clip(x, 0, width - 1)
-    yc = jnp.clip(y, 0, height - 1)
+    width_l = lut([s[2] for s in mr.shapes], oct_sel, jnp.int32)
+    height_l = lut([s[1] for s in mr.shapes], oct_sel, jnp.int32)
+    layer_c = jnp.clip(kp.layer, 0, mr.shapes[0][0] - 1)
+    xc = jnp.clip(x, 0, width_l - 1)
+    yc = jnp.clip(y, 0, height_l - 1)
 
     offs = jnp.arange(-r_max, r_max + 1)
     rg = offs[:, None].astype(dtype)  # (s, 1) row = y offset
     cg = offs[None, :].astype(dtype)  # (1, s) col = x offset
     s2 = (2 * r_max + 1) ** 2
+    p = 2 * r_max + 3
 
     rr = jnp.arange(DESC_HIST_WIDTH)
     oo = jnp.arange(DESC_HIST_BINS)
 
     def desc_chunk(args):
-        lay, yy, xx, xo, yo, rad, hw, ca, sa, pori, vmask = args
+        osel, lay, yy, xx, xo, yo, rad, hw, ca, sa, pori, wl, hl, vmask = args
         nc = lay.shape[0]
-        patches = gather_patches(padded, lay, yy, xx, r_max)
+        patches = gather_patches_multi(
+            mr, osel, lay, yy - r_max - 1, xx - r_max - 1, p
+        )
         dx = patches[:, 1:-1, 2:] - patches[:, 1:-1, :-2]
         dy = patches[:, :-2, 1:-1] - patches[:, 2:, 1:-1]
 
@@ -106,8 +128,8 @@ def compute_octave_descriptors(
         mask = (
             (row_bin > -1.0) & (row_bin < DESC_HIST_WIDTH)
             & (col_bin > -1.0) & (col_bin < DESC_HIST_WIDTH)
-            & (new_x > 0) & (new_x < width - 1)
-            & (new_y > 0) & (new_y < height - 1)
+            & (new_x > 0) & (new_x < wl[:, None, None] - 1)
+            & (new_y > 0) & (new_y < hl[:, None, None] - 1)
             & (jnp.abs(offs[None, None, :]) <= rad[:, None, None])
             & (jnp.abs(offs[None, :, None]) <= rad[:, None, None])
             & vmask[:, None, None]
@@ -149,7 +171,7 @@ def compute_octave_descriptors(
         hist = jnp.einsum("nsrc,nso->nrco", rc, fo)  # (nc, 4, 4, 8)
         return _hist_to_desc(hist.reshape(nc, 128))
 
-    chunk = min(DESC_CHUNK, n)
+    chunk = min(chunk, n)
     nchunk = -(-n // chunk)
     pad_n = nchunk * chunk - n
 
@@ -161,12 +183,22 @@ def compute_octave_descriptors(
     desc = jax.lax.map(
         desc_chunk,
         (
-            chunked(layer_c), chunked(yc), chunked(xc), chunked(x), chunked(y),
-            chunked(radius), chunked(hw_safe), chunked(cos_a), chunked(sin_a),
-            chunked(kp.pori), chunked(kp.valid),
+            chunked(oct_sel), chunked(layer_c), chunked(yc), chunked(xc),
+            chunked(x), chunked(y), chunked(radius), chunked(hw_safe),
+            chunked(cos_a), chunked(sin_a), chunked(kp.pori),
+            chunked(width_l), chunked(height_l), chunked(kp.valid),
         ),
     ).reshape(nchunk * chunk, 128)[:n]
     return desc
+
+
+def compute_octave_descriptors(
+    gauss: jnp.ndarray, kp: Keypoints, octave: int, cfg: SiftConfig
+) -> jnp.ndarray:
+    """Single-octave wrapper over compute_descriptors_all (staged path)."""
+    return compute_descriptors_all(
+        build_multi_rows([gauss]), kp, cfg, octave_of_volume=(octave,)
+    )
 
 
 def _hist_to_desc(hist: jnp.ndarray) -> jnp.ndarray:

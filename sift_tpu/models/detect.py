@@ -21,8 +21,17 @@ import math
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from sift_tpu.config import SiftConfig
-from sift_tpu.ops.gather import build_block_rows, compact_mask, gather_cubes
+from sift_tpu.ops.gather import (
+    build_block_rows,
+    build_multi_rows,
+    compact_mask,
+    gather_cubes,
+    gather_cubes_multi,
+    lut,
+)
 from sift_tpu.utils.keypoints import Keypoints
 from sift_tpu.utils.numerics import round_half_away, xdiv
 
@@ -134,26 +143,14 @@ def _fit_quadratic(g, h):
     return o0, o1, o2
 
 
-def refine_octave_keypoints(
-    dog: jnp.ndarray,
-    zyx: jnp.ndarray,
-    valid: jnp.ndarray,
-    octave: int,
-    cfg: SiftConfig,
-) -> tuple[Keypoints, jnp.ndarray]:
-    """Batched Newton refinement + contrast/edge tests (src/sift.cpp:330-436).
+def _newton_refine(cube_fn, zyx, valid, h_lane, w_lane, depth, border, dtype):
+    """Shared Newton core: <=5 masked steps + contrast/edge inputs.
 
-    Returns (keypoints, layer_offset): keypoints in *initial* (possibly
-    doubled) image coordinates with pori = 0, plus the converged layer offset
-    (offset[0]) per lane — the f64 parity path recomputes kp.size on the host
-    with glibc pow because XLA's exp2 is occasionally 1 ulp off glibc's.
+    ``cube_fn(pos) -> (N, 3, 3, 3)`` cubes (already /255); ``h_lane`` /
+    ``w_lane`` are per-lane image dims (scalars broadcast fine).  Returns the
+    final state dict (pos, converged, g, h, off, center).
     """
-    depth, height, width = dog.shape
-    border = cfg.window_size // 2
-    dtype = dog.dtype
     n = zyx.shape[0]
-    dog_rows = build_block_rows(dog)
-
     zero = jnp.zeros((n,), dtype)
     state = dict(
         pos=zyx,
@@ -166,7 +163,7 @@ def refine_octave_keypoints(
     )
 
     def step(st):
-        cubes = _gather_cubes(dog_rows, st["pos"])
+        cubes = cube_fn(st["pos"])
         g = _gradient(cubes)
         h = _hessian(cubes)
         off = _fit_quadratic(g, h)
@@ -190,21 +187,23 @@ def refine_octave_keypoints(
         newpos = st["pos"] + jnp.stack([dz, dy, dx], axis=-1)
         z, y, x = newpos[:, 0], newpos[:, 1], newpos[:, 2]
         in_bounds = (
-            (x >= border) & (x < width - border)
-            & (y >= border) & (y < height - border)
+            (x >= border) & (x < w_lane - border)
+            & (y >= border) & (y < h_lane - border)
             & (z >= border) & (z < depth - border)
         )
         pos = jnp.where(moving[:, None], newpos, st["pos"])
         # moving lanes that left bounds are rejected (src/sift.cpp:405-410);
         # clamp their positions so later gathers stay in range.
-        pos = jnp.clip(
-            pos,
-            jnp.asarray([border, border, border], jnp.int32),
-            jnp.asarray(
-                [depth - 1 - border, height - 1 - border, width - 1 - border],
-                jnp.int32,
-            ),
+        lo = jnp.asarray([border, border, border], jnp.int32)
+        hi = jnp.stack(
+            [
+                jnp.broadcast_to(jnp.asarray(depth - 1 - border, jnp.int32), (n,)),
+                jnp.broadcast_to(h_lane - 1 - border, (n,)).astype(jnp.int32),
+                jnp.broadcast_to(w_lane - 1 - border, (n,)).astype(jnp.int32),
+            ],
+            axis=-1,
         )
+        pos = jnp.clip(pos, lo, hi)
         return dict(
             pos=pos,
             active=moving & in_bounds,
@@ -217,8 +216,11 @@ def refine_octave_keypoints(
 
     # MAX_CONVERGENCE_STEPS (src/sift.hh:7); fori_loop keeps the compiled
     # graph one step deep instead of 5 unrolled copies.
-    state = jax.lax.fori_loop(0, 5, lambda _, st: step(st), state)
+    return jax.lax.fori_loop(0, 5, lambda _, st: step(st), state)
 
+
+def _accept_and_emit(state, octave_scale, oct_id, cfg, dtype, n):
+    """Contrast + edge tests and keypoint emission (src/sift.cpp:365-429)."""
     g0, g1, g2 = state["g"]
     o0, o1, o2 = state["off"]
     h00, h11, h22, h01, h02, h12 = state["h"]
@@ -241,7 +243,6 @@ def refine_octave_keypoints(
     z = state["pos"][:, 0]
     y = state["pos"][:, 1]
     x = state["pos"][:, 2]
-    octave_scale = float(math.pow(2, octave))
     fx = octave_scale * (x.astype(dtype) + o1)
     fy = octave_scale * (y.astype(dtype) + o2)
     # C++: init_sigma * 2^octave * pow(2, (layer + offset_z) / intervals)
@@ -254,7 +255,7 @@ def refine_octave_keypoints(
     kp = Keypoints(
         x=fx,
         y=fy,
-        octave=jnp.full((n,), octave, jnp.int32),
+        octave=oct_id,
         layer=z.astype(jnp.int32),
         size=size,
         pori=jnp.zeros((n,), dtype),
@@ -262,3 +263,101 @@ def refine_octave_keypoints(
         valid=accept,
     )
     return kp, o0
+
+
+def refine_octave_keypoints(
+    dog: jnp.ndarray,
+    zyx: jnp.ndarray,
+    valid: jnp.ndarray,
+    octave: int,
+    cfg: SiftConfig,
+) -> tuple[Keypoints, jnp.ndarray]:
+    """Batched Newton refinement + contrast/edge tests (src/sift.cpp:330-436).
+
+    Returns (keypoints, layer_offset): keypoints in *initial* (possibly
+    doubled) image coordinates with pori = 0, plus the converged layer offset
+    (offset[0]) per lane — the f64 parity path recomputes kp.size on the host
+    with glibc pow because XLA's exp2 is occasionally 1 ulp off glibc's.
+    """
+    depth, height, width = dog.shape
+    border = cfg.window_size // 2
+    dtype = dog.dtype
+    n = zyx.shape[0]
+    dog_rows = build_block_rows(dog)
+
+    state = _newton_refine(
+        lambda pos: _gather_cubes(dog_rows, pos),
+        zyx, valid, height, width, depth, border, dtype,
+    )
+    octave_scale = float(math.pow(2, octave))
+    return _accept_and_emit(
+        state, octave_scale, jnp.full((n,), octave, jnp.int32), cfg, dtype, n
+    )
+
+
+# --- cross-octave fused path: every octave's extrema/refinement in ONE
+# program over global capacity buffers.  Removes the per-octave program
+# floor (~15-25 ms/octave of mask+compact+dispatch even for tiny octaves)
+# that dominated the stage-wise pipeline on small octaves. ---
+
+
+def detect_extrema_all(
+    dogs: list[jnp.ndarray], threshold: float, cap: int, window_size: int = 3
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Extrema of ALL octaves compacted into one global capacity buffer.
+
+    Returns (oct_id (cap,), zyx (cap, 3), valid (cap,), total int32) in
+    (octave, z, y, x)-lexicographic order — the same relative order as the
+    per-octave path concatenated, so downstream dedup picks identical
+    representatives.  ``total`` is the true extremum count for overflow
+    detection (total > cap means the capacity clipped real extrema).
+    """
+    b = window_size // 2
+    masks = [extremum_mask(d, threshold, window_size) for d in dogs]
+    flats = [m.reshape(-1) for m in masks]
+    sizes = [int(f.shape[0]) for f in flats]
+    offs = np.cumsum([0] + sizes).tolist()
+    flat = jnp.concatenate(flats)
+    total = jnp.sum(flat, dtype=jnp.int32)
+    idx, valid = compact_mask(flat, cap)
+    oct_id = jnp.zeros(idx.shape, jnp.int32)
+    for o in range(1, len(dogs)):
+        oct_id = oct_id + (idx >= offs[o]).astype(jnp.int32)
+    local = idx - lut(offs[:-1], oct_id, jnp.int32)
+    h2 = lut([m.shape[1] for m in masks], oct_id, jnp.int32)
+    w2 = lut([m.shape[2] for m in masks], oct_id, jnp.int32)
+    z = local // (h2 * w2)
+    y = (local // w2) % h2
+    x = local % w2
+    zyx = jnp.stack([z + b, y + b, x + b], axis=-1).astype(jnp.int32)
+    return oct_id, zyx, valid, total
+
+
+def refine_keypoints_all(
+    dogs: list[jnp.ndarray],
+    oct_id: jnp.ndarray,
+    zyx: jnp.ndarray,
+    valid: jnp.ndarray,
+    cfg: SiftConfig,
+) -> tuple[Keypoints, jnp.ndarray]:
+    """Newton refinement for a mixed-octave extrema buffer (fused path).
+
+    Identical math to refine_octave_keypoints lane-for-lane; per-octave
+    constants (dims, 2^octave) become per-lane table lookups.
+    """
+    depth = dogs[0].shape[0]
+    border = cfg.window_size // 2
+    dtype = dogs[0].dtype
+    n = zyx.shape[0]
+    mr = build_multi_rows(dogs)
+    h_lane = lut([d.shape[1] for d in dogs], oct_id, jnp.int32)
+    w_lane = lut([d.shape[2] for d in dogs], oct_id, jnp.int32)
+
+    state = _newton_refine(
+        lambda pos: xdiv(gather_cubes_multi(mr, oct_id, pos), 255.0),
+        zyx, valid, h_lane, w_lane, depth, border, dtype,
+    )
+    octave_scale = lut(
+        [float(math.pow(2, o)) for o in range(len(dogs))], oct_id, dtype
+    )
+    return _accept_and_emit(state, octave_scale, oct_id, cfg, dtype, n)

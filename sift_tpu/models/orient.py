@@ -11,6 +11,12 @@ masked one-hot contraction (matmul-friendly), computed in keypoint chunks via
 ``lax.map`` to bound the one-hot intermediate.  The reference's *in-place*
 sequential smoothing (src/sift.cpp:496-504, where updated bins feed later
 ones) is reproduced exactly with an unrolled 36-step column update.
+
+Fused path: ``orient_all`` processes a mixed-octave keypoint buffer in ONE
+program — per-octave constants (2^-octave, image dims) become per-lane table
+lookups, and patches come from a MultiRows layout of all octaves' gaussian
+stacks (ops/gather.py) so the whole stage is one row-gather + MXU extraction
+instead of 8 per-octave programs of vmapped dynamic_slice.
 """
 
 from __future__ import annotations
@@ -21,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from sift_tpu.config import M_PI2, ORI_SMOOTH_ITERATIONS, SiftConfig
+from sift_tpu.ops.gather import MultiRows, build_multi_rows, gather_patches_multi, lut
 from sift_tpu.utils.keypoints import Keypoints
 from sift_tpu.utils.numerics import round_half_away
 
@@ -40,43 +47,33 @@ def ori_radius_bound(cfg: SiftConfig) -> int:
     return int(math.ceil(3.0 * cfg.ori_sigma_factor * max_size_octave(cfg) + 0.5))
 
 
-def gather_patches(
-    padded: jnp.ndarray, layer: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray, r: int
-) -> jnp.ndarray:
-    """(N, 2r+3, 2r+3) patches from a pre-padded (S, H+2(r+1), W+2(r+1)) stack;
-    patch[a, b] = img[layer, y + a - r - 1, x + b - r - 1] for y, x in image
-    coordinates.  Out-of-image samples read the zero pad and must be masked.
-    """
-    p = 2 * r + 3
-
-    def one(l, yy, xx):
-        return jax.lax.dynamic_slice(padded, (l, yy, xx), (1, p, p))[0]
-
-    return jax.vmap(one)(layer, y, x)
-
-
-def pad_stack(gauss: jnp.ndarray, r: int) -> jnp.ndarray:
-    return jnp.pad(gauss, ((0, 0), (r + 1, r + 1), (r + 1, r + 1)))
-
-
-def orient_octave_keypoints(
-    gauss: jnp.ndarray, kp: Keypoints, octave: int, cfg: SiftConfig
+def orient_all(
+    mr: MultiRows,
+    kp: Keypoints,
+    cfg: SiftConfig,
+    chunk: int = ORI_CHUNK,
+    octave_of_volume: tuple[int, ...] | None = None,
 ) -> Keypoints:
-    """Assign orientations to one octave's keypoints.
+    """Assign orientations to a mixed-octave keypoint buffer (one program).
 
-    Input keypoints are in initial (possibly doubled) image coordinates;
-    outputs are in *input image* coordinates (halved when doubling, matching
-    src/sift.cpp:522-526), expanded to one keypoint per histogram peak.
-    Output capacity is N * num_bins candidates with a validity mask; callers
-    compact it.
+    ``mr``: MultiRows layout of the per-octave gaussian stacks (unpadded;
+    out-of-image columns read 0 via the block layout, out-of-image rows are
+    clamped — both are masked below exactly like the reference's border skip,
+    src/sift.cpp:473-479).  Keypoints are in initial (possibly doubled) image
+    coordinates; outputs are in *input image* coordinates (halved when
+    doubling, src/sift.cpp:522-526), one candidate per histogram bin with a
+    validity mask (capacity N * num_bins); callers compact.
     """
-    dtype = gauss.dtype
+    dtype = kp.x.dtype
     n = kp.capacity
     nb = cfg.num_bins
-    height, width = gauss.shape[-2], gauss.shape[-1]
+    octaves = len(mr.shapes)
     r_max = ori_radius_bound(cfg)
+    p = 2 * r_max + 3
 
-    pow_denom = 1.0 / math.pow(2, octave)
+    oov = octave_of_volume or tuple(range(octaves))
+    oct_sel = jnp.clip(kp.octave - oov[0], 0, octaves - 1)
+    pow_denom = lut([1.0 / math.pow(2, o) for o in oov], oct_sel, dtype)
     x = round_half_away(kp.x * pow_denom).astype(jnp.int32)  # src/sift.cpp:458
     y = round_half_away(kp.y * pow_denom).astype(jnp.int32)
     size = kp.size * pow_denom
@@ -84,10 +81,11 @@ def orient_octave_keypoints(
     radius = round_half_away(3.0 * scale).astype(jnp.int32)  # src/sift.cpp:463
     exp_denom = 2.0 * scale * scale
 
-    padded = pad_stack(gauss, r_max)
-    layer_c = jnp.clip(kp.layer, 0, gauss.shape[0] - 1)
-    xc = jnp.clip(x, 0, width - 1)
-    yc = jnp.clip(y, 0, height - 1)
+    width_l = lut([s[2] for s in mr.shapes], oct_sel, jnp.int32)
+    height_l = lut([s[1] for s in mr.shapes], oct_sel, jnp.int32)
+    layer_c = jnp.clip(kp.layer, 0, mr.shapes[0][0] - 1)
+    xc = jnp.clip(x, 0, width_l - 1)
+    yc = jnp.clip(y, 0, height_l - 1)
 
     # Sample grid: i is the x offset, j the y offset (src/sift.cpp:472-483).
     ii = jnp.arange(-r_max, r_max + 1)
@@ -95,8 +93,10 @@ def orient_octave_keypoints(
     jg = ii[:, None]  # (s, 1) y offsets
 
     def hist_chunk(args):
-        lay, yy, xx, xo, yo, rad, edenom, vmask = args
-        patches = gather_patches(padded, lay, yy, xx, r_max)
+        osel, lay, yy, xx, xo, yo, rad, edenom, wl, hl, vmask = args
+        patches = gather_patches_multi(
+            mr, osel, lay, yy - r_max - 1, xx - r_max - 1, p
+        )
         dx = patches[:, 1:-1, 2:] - patches[:, 1:-1, :-2]
         dy = patches[:, :-2, 1:-1] - patches[:, 2:, 1:-1]
         magnitude = jnp.sqrt(dx * dx + dy * dy)
@@ -109,9 +109,9 @@ def orient_octave_keypoints(
         )
         in_img = (
             (xo[:, None, None] + ig - 1 >= 0)
-            & (xo[:, None, None] + ig + 1 <= width - 1)
+            & (xo[:, None, None] + ig + 1 <= wl[:, None, None] - 1)
             & (yo[:, None, None] + jg - 1 >= 0)
-            & (yo[:, None, None] + jg + 1 <= height - 1)
+            & (yo[:, None, None] + jg + 1 <= hl[:, None, None] - 1)
         )
         mask = in_radius & in_img & vmask[:, None, None]
         h_idx = round_half_away(nb * (angle + math.pi) / M_PI2).astype(jnp.int32)
@@ -120,7 +120,7 @@ def orient_octave_keypoints(
         onehot = (h_idx[..., None] == jnp.arange(nb)).astype(dtype)
         return jnp.einsum("nij,nijb->nb", contrib, onehot)
 
-    chunk = min(ORI_CHUNK, n)
+    chunk = min(chunk, n)
     nchunk = -(-n // chunk)
     pad_n = nchunk * chunk - n
 
@@ -132,8 +132,9 @@ def orient_octave_keypoints(
     hist = jax.lax.map(
         hist_chunk,
         (
-            chunked(layer_c), chunked(yc), chunked(xc), chunked(x), chunked(y),
-            chunked(radius), chunked(exp_denom), chunked(kp.valid),
+            chunked(oct_sel), chunked(layer_c), chunked(yc), chunked(xc),
+            chunked(x), chunked(y), chunked(radius), chunked(exp_denom),
+            chunked(width_l), chunked(height_l), chunked(kp.valid),
         ),
     ).reshape(nchunk * chunk, nb)[:n]
 
@@ -174,4 +175,15 @@ def orient_octave_keypoints(
         pori=ori.reshape(-1),
         desc=jnp.zeros((n * nb, 128), jnp.uint8),
         valid=cand_valid,
+    )
+
+
+def orient_octave_keypoints(
+    gauss: jnp.ndarray, kp: Keypoints, octave: int, cfg: SiftConfig
+) -> Keypoints:
+    """Single-octave wrapper over orient_all (staged/debug path): the one
+    gaussian stack is volume 0 with the true octave's 2^-octave table entry
+    (kp.octave already equals ``octave`` on valid lanes)."""
+    return orient_all(
+        build_multi_rows([gauss]), kp, cfg, octave_of_volume=(octave,)
     )

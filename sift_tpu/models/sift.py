@@ -5,12 +5,26 @@ minus the reference's design warts: no PNG side effect inside the detection
 API (src/sift.cpp:766-768), no stdout logging interleaved with compute, no
 per-extremum deep copies.
 
-Execution model: every stage runs on fixed-capacity buffers with the octave
-loop unrolled at trace time.  Production entry points run stage-wise (one
-persistently-cached XLA program per stage/octave, optionally vmapped over an
-image batch); ``detect_fn`` traces the whole pipeline into one program for
-composition under vmap/shard_map (multi-chip) — the fully fused program is
-kept out of the hot path because XLA compiles it superlinearly slower.
+Execution model: every stage runs on fixed-capacity buffers with static
+shapes.  The PRODUCTION path fuses all octaves per stage — six compiled
+programs per sweep:
+
+  1. pyramids (gaussian + DoG, octave loop unrolled at trace time)
+  2. detect+refine (every octave's extremum mask -> ONE global compaction ->
+     one mixed-octave Newton refinement over MultiRows gathers)
+  3. gaussian MultiRows relayout (shared by orientation + descriptors)
+  4. orientation (mixed-octave, one program)
+  5. dedup (sort + unique) + compact
+  6. descriptors (mixed-octave, one program)
+
+The earlier per-octave stage-wise path survives as ``detect_stages`` for
+debugging and the f64 bit-parity profile; ``detect_and_describe_batch``
+(production) is cross-checked against it by tests.
+
+Capacity semantics differ between the two paths: the fused path treats
+``extrema_cap`` / ``kp_cap`` as GLOBAL (all octaves) capacities, the staged
+path as octave-0 capacities halved per octave.  Both detect overflow by
+comparing true counts against capacity (see ``counts`` below).
 """
 
 from __future__ import annotations
@@ -23,128 +37,101 @@ import jax.numpy as jnp
 import numpy as np
 
 from sift_tpu.config import SiftConfig
-from sift_tpu.models.descriptor import compute_octave_descriptors
-from sift_tpu.models.detect import detect_octave_extrema, refine_octave_keypoints
-from sift_tpu.models.orient import orient_octave_keypoints
+from sift_tpu.models.descriptor import (
+    compute_descriptors_all,
+    compute_octave_descriptors,
+)
+from sift_tpu.models.detect import (
+    detect_extrema_all,
+    detect_octave_extrema,
+    refine_keypoints_all,
+    refine_octave_keypoints,
+)
+from sift_tpu.models.orient import orient_all, orient_octave_keypoints
 from sift_tpu.models.pyramid import build_pyramids, compute_initial_image
-from sift_tpu.ops.gather import compact_mask
+from sift_tpu.ops.gather import build_multi_rows, compact_mask
 from sift_tpu.utils import keypoints as kputil
 from sift_tpu.utils.keypoints import Keypoints
 
 
 def detect_fn(img: jnp.ndarray, cfg: SiftConfig, octaves: int) -> Keypoints:
-    """Traceable detect+describe for a fixed image shape. img: (H, W[, C])."""
+    """Traceable fused detect+describe for a fixed image shape.
+
+    img: (H, W[, C]).  One traced graph (suitable for vmap / shard_map
+    composition); production entry points run the same stages as separate
+    persistently-cached programs instead.
+    """
     initial = compute_initial_image(img, cfg)
     gaussians, dogs = build_pyramids(initial, cfg, octaves)
-    threshold = cfg.extremum_threshold()
-
-    oriented: list[Keypoints] = []
-    for o in range(octaves):
-        zyx, valid = detect_octave_extrema(
-            dogs[o], threshold, cfg.extrema_cap_for_octave(o), cfg.window_size
-        )
-        kp, _ = refine_octave_keypoints(dogs[o], zyx, valid, o, cfg)
-        kp = kputil.compact(kp, cfg.kp_cap_for_octave(o))
-        cand = orient_octave_keypoints(gaussians[o], kp, o, cfg)
-        oriented.append(kputil.compact(cand, 2 * cfg.kp_cap_for_octave(o)))
-
-    allkp = kputil.concatenate(oriented)
-    allkp = kputil.sort_and_dedup(allkp)
-    # Pack into the final ori_cap buffer: downstream matching cost scales
-    # with capacity, not keypoint count.
-    allkp = kputil.compact(allkp, cfg.ori_cap)
-
-    # Descriptors per octave: select this octave's lanes, compute, scatter back.
-    n = allkp.capacity
-    desc_all = allkp.desc
-    for o in range(octaves):
-        sel = allkp.valid & (allkp.octave == o)
-        cap_o = 2 * cfg.kp_cap_for_octave(o)
-        idx_c, in_range = compact_mask(sel, cap_o)
-        idx = jnp.where(in_range, idx_c, n)
-        sub = jax.tree.map(lambda a: jnp.take(a, idx_c, axis=0), allkp)
-        sub = dataclasses.replace(sub, valid=sub.valid & in_range)
-        desc = compute_octave_descriptors(gaussians[o], sub, o, cfg)
-        desc_all = desc_all.at[idx].set(desc, mode="drop")
-
-    return dataclasses.replace(allkp, desc=desc_all)
+    kp, _off0, _counts = _detect_refine_fused(dogs, cfg)
+    mr = build_multi_rows(gaussians)
+    cand = orient_all(mr, kp, cfg)
+    cand = kputil.compact(cand, cfg.ori_cap)
+    allkp = kputil.compact(kputil.sort_and_dedup(cand), cfg.ori_cap)
+    desc = compute_descriptors_all(mr, allkp, cfg)
+    return dataclasses.replace(allkp, desc=desc)
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def _detect_jit(img, cfg: SiftConfig, octaves: int) -> Keypoints:
-    return detect_fn(img, cfg, octaves)
+def _detect_refine_fused(dogs, cfg: SiftConfig):
+    """All octaves: extrema -> Newton refine -> compact to cfg.kp_cap.
 
-
-@partial(jax.jit, static_argnums=(2, 3))
-def _jit_octave_pipeline(dog, gauss, cfg: SiftConfig, octave: int):
-    """extrema -> refine -> orient for one octave (one compiled program)."""
-    zyx, valid = detect_octave_extrema(
-        dog, cfg.extremum_threshold(), cfg.extrema_cap_for_octave(octave),
-        cfg.window_size,
+    Returns (keypoints, off0, counts): ``off0`` is the converged layer offset
+    per lane (the f64 parity profile recomputes kp.size from it on the host
+    with glibc pow); counts = (n_extrema, n_refined) are the TRUE stage
+    counts for capacity-overflow detection (n_extrema > cfg.extrema_cap or
+    n_refined > cfg.kp_cap means the capacity clipped real detections).
+    """
+    oct_id, zyx, valid, n_ext = detect_extrema_all(
+        dogs, cfg.extremum_threshold(), cfg.extrema_cap, cfg.window_size
     )
-    kp, _ = refine_octave_keypoints(dog, zyx, valid, octave, cfg)
-    kp = kputil.compact(kp, cfg.kp_cap_for_octave(octave))
-    cand = orient_octave_keypoints(gauss, kp, octave, cfg)
-    return kputil.compact(cand, 2 * cfg.kp_cap_for_octave(octave))
+    kp, off0 = refine_keypoints_all(dogs, oct_id, zyx, valid, cfg)
+    n_ref = jnp.sum(kp.valid, dtype=jnp.int32)
+    kp, off0 = kputil.compact(kp, cfg.kp_cap, extra=off0)
+    return kp, off0, (n_ext, n_ref)
 
 
-# --- batched (leading image axis) stage-wise path: same per-stage programs
-# vmapped over a batch, which amortizes per-dispatch host overhead and fills
-# the chip; used by the throughput benchmark and data-parallel sharding ---
-
-
-@partial(jax.jit, static_argnums=(1, 2))
-def _jit_pyramids_batch(imgs, cfg: SiftConfig, octaves: int):
-    return jax.vmap(
-        lambda im: build_pyramids(compute_initial_image(im, cfg), cfg, octaves)
-    )(imgs)
-
-
-@partial(jax.jit, static_argnums=(2, 3))
-def _jit_octave_pipeline_batch(dog, gauss, cfg: SiftConfig, octave: int):
-    def one(d, g):
-        zyx, valid = detect_octave_extrema(
-            d, cfg.extremum_threshold(), cfg.extrema_cap_for_octave(octave),
-            cfg.window_size,
-        )
-        kp, _ = refine_octave_keypoints(d, zyx, valid, octave, cfg)
-        kp = kputil.compact(kp, cfg.kp_cap_for_octave(octave))
-        cand = orient_octave_keypoints(g, kp, octave, cfg)
-        return kputil.compact(cand, 2 * cfg.kp_cap_for_octave(octave))
-
-    return jax.vmap(one)(dog, gauss)
-
-
-@partial(jax.jit)
-def _jit_dedup_batch(allkp):
-    return jax.vmap(kputil.sort_and_dedup)(allkp)
+# --- fused production programs (separately jitted + persistently cached;
+# dispatch is async so the six programs pipeline back-to-back on device) ---
 
 
 @partial(jax.jit, static_argnums=(1,))
-def _jit_compact_batch(allkp, cap: int):
-    return jax.vmap(lambda kp: kputil.compact(kp, cap))(allkp)
+def _jit_detect_refine_batch(dogs, cfg: SiftConfig):
+    return jax.vmap(lambda d: _detect_refine_fused(d, cfg))(dogs)
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def _jit_octave_descriptors_batch(gauss, allkp, cfg: SiftConfig, octave: int):
-    def one(g, kp):
-        n = kp.capacity
-        sel = kp.valid & (kp.octave == octave)
-        cap_o = 2 * cfg.kp_cap_for_octave(octave)
-        idx_c, in_range = compact_mask(sel, cap_o)
-        idx = jnp.where(in_range, idx_c, n)
-        sub = jax.tree.map(lambda a: jnp.take(a, idx_c, axis=0), kp)
-        sub = dataclasses.replace(sub, valid=sub.valid & in_range)
-        desc = compute_octave_descriptors(g, sub, octave, cfg)
-        return kp.desc.at[idx].set(desc, mode="drop")
-
-    return jax.vmap(one)(gauss, allkp)
+@jax.jit
+def _jit_gauss_rows_batch(gaussians):
+    return jax.vmap(lambda gs: build_multi_rows(gs))(gaussians)
 
 
-def detect_and_describe_batch(images, cfg: SiftConfig | None = None) -> Keypoints:
+@partial(jax.jit, static_argnums=(2,))
+def _jit_orient_batch(mr, kp, cfg: SiftConfig):
+    def one(m, k):
+        cand = orient_all(m, k, cfg)
+        n_cand = jnp.sum(cand.valid, dtype=jnp.int32)
+        return kputil.compact(cand, cfg.ori_cap), n_cand
+
+    return jax.vmap(one)(mr, kp)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _jit_dedup_compact_batch(cand, cap: int):
+    return jax.vmap(lambda c: kputil.compact(kputil.sort_and_dedup(c), cap))(cand)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _jit_desc_all_batch(mr, allkp, cfg: SiftConfig):
+    return jax.vmap(lambda m, k: compute_descriptors_all(m, k, cfg))(mr, allkp)
+
+
+def detect_and_describe_batch(
+    images, cfg: SiftConfig | None = None, return_counts: bool = False
+):
     """Batched detect+describe: (B, H, W[, C]) -> Keypoints with leading B.
 
-    Same stage-wise execution as detect_and_describe, vmapped over the batch.
+    ``return_counts``: also return a dict of true per-stage counts (device
+    arrays, shape (B,)) for capacity-overflow checks: any count exceeding the
+    matching capacity means lanes were clipped and capacities must be raised.
     """
     cfg = cfg or SiftConfig()
     imgs = jnp.asarray(images, cfg.dtype)
@@ -153,24 +140,48 @@ def detect_and_describe_batch(images, cfg: SiftConfig | None = None) -> Keypoint
     octaves = cfg.octaves_count(w * scale, h * scale)
 
     gaussians, dogs = _jit_pyramids_batch(imgs, cfg, octaves)
-    oriented = [
-        _jit_octave_pipeline_batch(dogs[o], gaussians[o], cfg, o)
-        for o in range(octaves)
-    ]
-    allkp = _jit_dedup_batch(
-        jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1), *oriented)
-    )
-    allkp = _jit_compact_batch(allkp, cfg.ori_cap)
-    desc_all = allkp.desc
-    for o in range(octaves):
-        desc_all = _jit_octave_descriptors_batch(
-            gaussians[o], dataclasses.replace(allkp, desc=desc_all), cfg, o
-        )
-    return dataclasses.replace(allkp, desc=desc_all)
+    kp, off0, (n_ext, n_ref) = _jit_detect_refine_batch(dogs, cfg)
+    if jnp.dtype(cfg.dtype) == jnp.float64:
+        kp = _host_exact_sizes_mixed(kp, off0, cfg)
+    mr = _jit_gauss_rows_batch(gaussians)
+    cand, n_cand = _jit_orient_batch(mr, kp, cfg)
+    allkp = _jit_dedup_compact_batch(cand, cfg.ori_cap)
+    desc = _jit_desc_all_batch(mr, allkp, cfg)
+    out = dataclasses.replace(allkp, desc=desc)
+    if return_counts:
+        return out, dict(extrema=n_ext, refined=n_ref, oriented=n_cand)
+    return out
 
 
-# --- per-stage jitted helpers (compiled + persistently cached separately,
-# so tests and debugging don't pay for one huge fused compile) ---
+def detect_and_describe(image, cfg: SiftConfig | None = None) -> Keypoints:
+    """Detect SIFT keypoints + descriptors for one image.
+
+    ``image``: (H, W) or (H, W, C) array in [0, 255] (float or uint8).
+    Returns a fixed-capacity Keypoints buffer (device arrays) with a validity
+    mask; ``.to_numpy()`` gives the dense host view.  Runs the fused
+    production path as a batch of one.
+    """
+    cfg = cfg or SiftConfig()
+    img = jnp.asarray(image, cfg.dtype)
+    out = detect_and_describe_batch(img[None], cfg)
+    return jax.tree.map(lambda a: a[0], out)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _detect_jit(img, cfg: SiftConfig, octaves: int) -> Keypoints:
+    return detect_fn(img, cfg, octaves)
+
+
+# --- per-octave staged path: the f64 bit-parity profile and stage-level
+# debugging view (mirrors the stage boundaries of src/sift.cpp:712-776).
+# Production throughput lives in the fused path above. ---
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _jit_pyramids_batch(imgs, cfg: SiftConfig, octaves: int):
+    return jax.vmap(
+        lambda im: build_pyramids(compute_initial_image(im, cfg), cfg, octaves)
+    )(imgs)
 
 
 @partial(jax.jit, static_argnums=(1, 2))
@@ -216,6 +227,37 @@ def _jit_octave_descriptors(gauss, allkp, cfg: SiftConfig, octave: int):
     sub = dataclasses.replace(sub, valid=sub.valid & in_range)
     desc = compute_octave_descriptors(gauss, sub, octave, cfg)
     return allkp.desc.at[idx].set(desc, mode="drop")
+
+
+def _host_exact_sizes_mixed(kp: Keypoints, off0, cfg: SiftConfig) -> Keypoints:
+    """Host glibc-pow size recompute for a mixed-octave buffer (f64 parity).
+
+    Same fix as _host_exact_sizes but per-lane octave (fused path); handles
+    any leading batch dims.
+    """
+    import math
+
+    from sift_tpu.utils.native import pow2_glibc
+
+    size = np.asarray(kp.size).copy()
+    layer = np.asarray(kp.layer).astype(np.float64)
+    off = np.asarray(off0).astype(np.float64)
+    oct_ = np.asarray(kp.octave).astype(np.float64)
+    valid = np.asarray(kp.valid)
+    # init_sigma * 2^octave: exact in f64 (exponent shift), same value as the
+    # reference's init_sigma * pow(2, octave).
+    scale = cfg.init_sigma * np.power(2.0, oct_)
+    t = (layer + off) / float(cfg.intervals)
+    p = pow2_glibc(t.reshape(-1))
+    if p is not None:
+        size = np.where(valid, scale * p.reshape(t.shape), size)
+    else:
+        flat_s, flat_t = size.reshape(-1), t.reshape(-1)
+        sc = scale.reshape(-1)
+        for i in np.nonzero(valid.reshape(-1))[0]:
+            flat_s[i] = sc[i] * math.pow(2, float(flat_t[i]))
+        size = flat_s.reshape(size.shape)
+    return dataclasses.replace(kp, size=jnp.asarray(size))
 
 
 def _host_exact_sizes(kp: Keypoints, off0, octave: int, cfg: SiftConfig) -> Keypoints:
@@ -269,37 +311,3 @@ def detect_stages(img, cfg: SiftConfig, octaves: int) -> dict:
         )
     out["final"] = dataclasses.replace(allkp, desc=desc_all)
     return out
-
-
-def detect_and_describe(image, cfg: SiftConfig | None = None) -> Keypoints:
-    """Detect SIFT keypoints + descriptors for one image.
-
-    ``image``: (H, W) or (H, W, C) array in [0, 255] (float or uint8).
-    Returns a fixed-capacity Keypoints buffer (device arrays) with a validity
-    mask; ``.to_numpy()`` gives the dense host view.
-
-    Execution is stage-wise (one compiled program per pipeline stage /
-    octave): XLA compile time explodes superlinearly on the fully fused
-    8-octave graph, while per-stage programs compile in seconds and are
-    persistently cached.  Dispatch is async, so stages pipeline back-to-back
-    on device; use ``detect_fn`` directly to trace the whole pipeline into a
-    larger program (e.g. inside vmap/shard_map for multi-chip runs).
-    """
-    cfg = cfg or SiftConfig()
-    img = jnp.asarray(image, cfg.dtype)
-    h, w = img.shape[0], img.shape[1]
-    scale = 2 if cfg.double_image_size else 1
-    octaves = cfg.octaves_count(w * scale, h * scale)
-
-    initial, gaussians, dogs = _jit_pyramids(img, cfg, octaves)
-    oriented = [
-        _jit_octave_pipeline(dogs[o], gaussians[o], cfg, o)
-        for o in range(octaves)
-    ]
-    allkp = _jit_dedup(kputil.concatenate(oriented), cfg.ori_cap)
-    desc_all = allkp.desc
-    for o in range(octaves):
-        desc_all = _jit_octave_descriptors(
-            gaussians[o], dataclasses.replace(allkp, desc=desc_all), cfg, o
-        )
-    return dataclasses.replace(allkp, desc=desc_all)

@@ -160,3 +160,33 @@ def test_final_keypoints_and_descriptors(oracle, stages):
     # Descriptors quantize with floor(512*v); allow no byte mismatches here —
     # relax only if cross-libm ulp noise ever flips a quantization boundary.
     assert mismatched == 0, f"{mismatched} descriptor bytes differ"
+
+
+def test_fused_path_matches_oracle(oracle, case):
+    """The fused production pipeline (detect_and_describe: one global
+    compaction + mixed-octave refine/orient/descriptors) reproduces the
+    oracle's final keypoints and descriptors, like the staged path above."""
+    from sift_tpu.models.sift import detect_and_describe
+
+    _, _, img = case
+    final = detect_and_describe(img, CFG)
+    v = np.asarray(final.valid)
+    mine = {}
+    for i in np.nonzero(v)[0]:
+        key = (
+            float(final.x[i]), float(final.y[i]), float(final.size[i]),
+            round(float(final.pori[i]), 9),
+        )
+        mine[key] = np.asarray(final.desc[i])
+    ref = {}
+    for i in range(len(oracle["final.x"])):
+        key = (
+            float(oracle["final.x"][i]), float(oracle["final.y"][i]),
+            float(oracle["final.size"][i]), round(float(oracle["final.pori"][i]), 9),
+        )
+        ref[key] = oracle["final.desc"][i]
+    assert set(mine) == set(ref)
+    mismatched = sum(
+        int(np.sum(mine[k] != ref[k])) for k in ref
+    )
+    assert mismatched == 0, f"{mismatched} descriptor bytes differ"

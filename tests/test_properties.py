@@ -56,7 +56,12 @@ def test_scale_invariance(patch):
     big = np.asarray(
         jnp.asarray(big, jnp.float32)
     )  # nearest 2x upsample keeps content
-    kp2 = detect_and_describe(big, CFG)
+    # Caps are GLOBAL (all octaves) in the fused path; the 4x-area upscale
+    # needs ~4x the extremum capacity of the 320x320 patch.
+    big_cfg = SiftConfig(
+        dtype=jnp.float32, extrema_cap=8192, kp_cap=2048, ori_cap=4096
+    )
+    kp2 = detect_and_describe(big, big_cfg)
     rows, cols = _match_pairs(kp1, kp2)
     assert len(rows) > 0.3 * int(kp1.count()), len(rows)
     x1 = np.asarray(kp1.x)[rows]
