@@ -55,11 +55,17 @@ def main() -> None:
 
     from sift_tpu.models.sift import detect_and_describe_batch
 
-    cfg = SiftConfig()
+    # Workload-tuned capacities: every stage's cost scales with CAPACITY,
+    # not keypoint count, so the 640x480 bench runs with caps sized for its
+    # measured content (extrema<=5001, refined<=902, oriented<=1068 per
+    # frame) plus headroom.  Honesty guard below: the true per-stage counts
+    # are asserted against the caps, so clipping would abort the bench, and
+    # with no clipping the match sets are identical to default-cap runs.
+    cfg = SiftConfig(extrema_cap=6144, kp_cap=1536, ori_cap=2048)
 
     # Batched mode: B frames per sweep (B/2 pairs), matcher vmapped over
     # pairs.  Every frame runs the full detect+describe+match pipeline.
-    B = 8
+    B = int(os.environ.get("BENCH_BATCH", "8"))
     imgs = jnp.asarray(
         np.stack([img1, img2] * (B // 2)).astype(np.float32)
     )
@@ -82,6 +88,14 @@ def main() -> None:
 
     # Warmup/compile, fenced so no queued work leaks into the timed window.
     fence(sweep())
+
+    # Capacity honesty check: no stage may have clipped real detections.
+    _, counts = detect_and_describe_batch(imgs, cfg, return_counts=True)
+    cap2 = cfg.refine_active_cap or max(128, cfg.extrema_cap // 2)
+    for name, cap in (("extrema", cfg.extrema_cap), ("refined", cfg.kp_cap),
+                      ("oriented", cfg.ori_cap), ("refine_active", cap2)):
+        mx = int(np.asarray(counts[name]).max())
+        assert mx <= cap, f"{name} overflow: {mx} > cap {cap}"
 
     # Amortized timing: enqueue K sweeps, fence once on the last result.
     # Repeat R times; report median and best (min) run.

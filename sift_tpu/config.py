@@ -48,16 +48,25 @@ class SiftConfig:
     ratio_threshold: float = 0.75
 
     # --- TPU static-shape capacities ---
-    # Per-octave extremum capacity at octave 0; halved per octave (min 256).
+    # Fused production path: GLOBAL (all-octave) capacities; overflow is
+    # detected via the true counts returned by detect_and_describe_batch
+    # (return_counts=True).  Staged/debug path: per-octave capacity at
+    # octave 0, halved per octave via *_for_octave below.
     extrema_cap: int = 8192
-    # Per-octave refined-keypoint capacity at octave 0; halved (min 128).
     kp_cap: int = 4096
-    # Total oriented-keypoint capacity across all octaves.
+    # Total oriented-keypoint capacity across all octaves (both paths).
     ori_cap: int = 8192
+    # Phase-2 Newton capacity (lanes still moving after step 1; measured
+    # ~30% of extrema on real images).  None = max(128, extrema_cap // 2).
+    refine_active_cap: int | None = None
 
     # Compute dtype for the image pipeline.  float32 on TPU ("fast" profile);
     # float64 on CPU with jax_enable_x64 for the bit-parity profile.
     dtype: Any = jnp.float32
+
+    # Pyramid blur backend: None = auto (Pallas VMEM kernel on TPU f32 when
+    # the image fits, XLA shifted-adds otherwise).  Both are bit-identical.
+    use_pallas_blur: bool | None = None
 
     # ----- derived, host-side helpers (pure Python f64 to match glibc) -----
 

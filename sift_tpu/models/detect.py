@@ -143,16 +143,18 @@ def _fit_quadratic(g, h):
     return o0, o1, o2
 
 
-def _newton_refine(cube_fn, zyx, valid, h_lane, w_lane, depth, border, dtype):
-    """Shared Newton core: <=5 masked steps + contrast/edge inputs.
+# Block width of the DoG MultiRows used by the fused Newton refinement.
+# Cube windows are 3 wide, so any blk >= 2 is correct; this only trades
+# row-gather width (DMA efficiency) against traffic.  Measured on the real
+# chip (scripts/probe_refine_ab.py, batch 8, tight caps, two-phase):
+# blk=32 -> 72.3 ms, blk=64 -> 66.3 ms, blk=128 -> 87.4 ms.
+_REFINE_BLK = 64
 
-    ``cube_fn(pos) -> (N, 3, 3, 3)`` cubes (already /255); ``h_lane`` /
-    ``w_lane`` are per-lane image dims (scalars broadcast fine).  Returns the
-    final state dict (pos, converged, g, h, off, center).
-    """
+
+def _newton_init(zyx, valid, dtype):
     n = zyx.shape[0]
     zero = jnp.zeros((n,), dtype)
-    state = dict(
+    return dict(
         pos=zyx,
         active=valid,
         converged=jnp.zeros((n,), bool),
@@ -161,6 +163,24 @@ def _newton_refine(cube_fn, zyx, valid, h_lane, w_lane, depth, border, dtype):
         off=(zero, zero, zero),
         center=zero,
     )
+
+
+def _newton_refine(
+    cube_fn, zyx, valid, h_lane, w_lane, depth, border, dtype,
+    steps: int = 5, state: dict | None = None,
+):
+    """Shared Newton core: masked steps + contrast/edge inputs.
+
+    ``cube_fn(pos) -> (N, 3, 3, 3)`` cubes (already /255); ``h_lane`` /
+    ``w_lane`` are per-lane image dims (scalars broadcast fine).  Returns the
+    final state dict (pos, converged, g, h, off, center).  ``state`` resumes
+    from a previous call's state (the two-phase split below); each step is a
+    per-lane no-op for inactive lanes, so splitting 5 steps into 1 + 4 over
+    any subset containing all still-active lanes is exact.
+    """
+    if state is None:
+        state = _newton_init(zyx, valid, dtype)
+    n = state["pos"].shape[0]
 
     def step(st):
         cubes = cube_fn(st["pos"])
@@ -339,25 +359,79 @@ def refine_keypoints_all(
     zyx: jnp.ndarray,
     valid: jnp.ndarray,
     cfg: SiftConfig,
-) -> tuple[Keypoints, jnp.ndarray]:
+) -> tuple[Keypoints, jnp.ndarray, jnp.ndarray]:
     """Newton refinement for a mixed-octave extrema buffer (fused path).
 
     Identical math to refine_octave_keypoints lane-for-lane; per-octave
     constants (dims, 2^octave) become per-lane table lookups.
+
+    Two-phase schedule: step 1 runs on every lane, then lanes still moving
+    (measured ~30% on real images) are compacted into a half-capacity buffer
+    for steps 2-5 — exact because a step is a per-lane no-op once the lane
+    converged or left bounds.  Returns (keypoints, off0, n_active) where
+    ``n_active`` is the true still-moving count after step 1 for overflow
+    detection against the phase-2 capacity.
     """
     depth = dogs[0].shape[0]
     border = cfg.window_size // 2
     dtype = dogs[0].dtype
     n = zyx.shape[0]
-    mr = build_multi_rows(dogs)
-    h_lane = lut([d.shape[1] for d in dogs], oct_id, jnp.int32)
-    w_lane = lut([d.shape[2] for d in dogs], oct_id, jnp.int32)
+    mr = build_multi_rows(dogs, blk=_REFINE_BLK)
+    h_tbl = [d.shape[1] for d in dogs]
+    w_tbl = [d.shape[2] for d in dogs]
+    h_lane = lut(h_tbl, oct_id, jnp.int32)
+    w_lane = lut(w_tbl, oct_id, jnp.int32)
+
+    def cube(oid):
+        return lambda pos: xdiv(gather_cubes_multi(mr, oid, pos), 255.0)
 
     state = _newton_refine(
-        lambda pos: xdiv(gather_cubes_multi(mr, oct_id, pos), 255.0),
-        zyx, valid, h_lane, w_lane, depth, border, dtype,
+        cube(oct_id), zyx, valid, h_lane, w_lane, depth, border, dtype,
+        steps=1,
     )
+    n_active = jnp.sum(state["active"], dtype=jnp.int32)
+    cap2 = cfg.refine_active_cap or max(128, n // 2)
+    if cap2 >= n:
+        state = _newton_refine(
+            cube(oct_id), None, None, h_lane, w_lane, depth, border, dtype,
+            steps=4, state=state,
+        )
+    else:
+        # Compact still-active lanes; run steps 2-5 on the small buffer.
+        idx, sel = compact_mask(state["active"], cap2)
+        packed = jnp.concatenate([state["pos"], oct_id[:, None]], axis=1)
+        sub = jnp.take(packed, idx, axis=0)
+        sub_pos, sub_oct = sub[:, :3], sub[:, 3]
+        sub_h = lut(h_tbl, sub_oct, jnp.int32)
+        sub_w = lut(w_tbl, sub_oct, jnp.int32)
+        sub_state = _newton_refine(
+            cube(sub_oct), sub_pos, sel, sub_h, sub_w, depth, border, dtype,
+            steps=4,
+        )
+        # Scatter phase-2 lanes back by original index (packed row writes).
+        widx = jnp.where(sel, idx, n)
+
+        def fields(st):
+            return jnp.stack(
+                [*st["g"], *st["h"], *st["off"], st["center"],
+                 st["converged"].astype(dtype)],
+                axis=1,
+            )
+
+        pos = state["pos"].at[widx].set(sub_state["pos"], mode="drop")
+        merged = fields(state).at[widx].set(fields(sub_state), mode="drop")
+        state = dict(
+            pos=pos,
+            active=state["active"],
+            converged=merged[:, 13] > 0.5,
+            g=(merged[:, 0], merged[:, 1], merged[:, 2]),
+            h=tuple(merged[:, 3 + i] for i in range(6)),
+            off=(merged[:, 9], merged[:, 10], merged[:, 11]),
+            center=merged[:, 12],
+        )
+
     octave_scale = lut(
         [float(math.pow(2, o)) for o in range(len(dogs))], oct_id, dtype
     )
-    return _accept_and_emit(state, octave_scale, oct_id, cfg, dtype, n)
+    kp, off0 = _accept_and_emit(state, octave_scale, oct_id, cfg, dtype, n)
+    return kp, off0, n_active

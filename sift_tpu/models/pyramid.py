@@ -15,13 +15,36 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 from sift_tpu.config import SiftConfig
 from sift_tpu.ops.blur import separable_blur
 from sift_tpu.ops.color import to_grayscale
+from sift_tpu.ops.pallas_blur import pallas_blur_fits, pallas_separable_blur
 from sift_tpu.ops.resize import downsample_nearest_x2, upsample_bilinear
 from sift_tpu.config import gaussian_half_kernel
+
+
+def _blur(img: jnp.ndarray, half_kernel: list[float], cfg: SiftConfig):
+    """Route one blur through the Pallas strip kernel or the XLA path.
+
+    Same math and accumulation order (differences limited to last-ulp FMA
+    contraction choices); the f64 parity profile always takes the XLA path.
+    CAUTION: do not enable Pallas under vmap — jax's pallas batching rule
+    lifts the batch dim into the BLOCK shape (VMEM overflow for big images);
+    pass images batched as (B, H, W) instead (the kernel grids over B).
+    """
+    use = cfg.use_pallas_blur
+    if use is None:
+        # Auto currently resolves to the XLA path: the pyramid traces ~80
+        # Mosaic kernels and the per-kernel AOT compile (~10 s each on the
+        # axon tunnel) dwarfs the ~25% runtime win.  Opt in explicitly for
+        # long-running deployments where the compile amortizes.
+        use = False
+    if use and pallas_blur_fits(img.shape, cfg.dtype):
+        return pallas_separable_blur(img, half_kernel)
+    return separable_blur(img, half_kernel)
 
 
 def compute_initial_image(img: jnp.ndarray, cfg: SiftConfig) -> jnp.ndarray:
@@ -34,7 +57,7 @@ def compute_initial_image(img: jnp.ndarray, cfg: SiftConfig) -> jnp.ndarray:
     if cfg.double_image_size:
         gray = upsample_bilinear(gray, 2, 2)
     sigma = math.sqrt(cfg.init_sigma * cfg.init_sigma - 1)
-    return separable_blur(gray, gaussian_half_kernel(sigma))
+    return _blur(gray, gaussian_half_kernel(sigma), cfg)
 
 
 def build_pyramids(
@@ -56,9 +79,15 @@ def build_pyramids(
     for _ in range(octaves):
         layers = [img]
         for i in range(1, len(kernels)):
-            layers.append(separable_blur(layers[-1], half_kernels[i]))
-        g = jnp.stack(layers)
+            layers.append(_blur(layers[-1], half_kernels[i], cfg))
+        # Layer stack on axis -3: (S, H, W), or (B, S, H, W) when ``initial``
+        # carries a leading batch dim (the batched production path).
+        g = jnp.stack(layers, axis=-3)
         gaussians.append(g)
-        dogs.append(g[1:] - g[:-1])  # src/sift.cpp:217 (img[i+1] - img[i])
+        # src/sift.cpp:217 (img[i+1] - img[i])
+        dogs.append(
+            jax.lax.slice_in_dim(g, 1, g.shape[-3], axis=-3)
+            - jax.lax.slice_in_dim(g, 0, g.shape[-3] - 1, axis=-3)
+        )
         img = downsample_nearest_x2(layers[len(kernels) - 3])
     return gaussians, dogs

@@ -61,8 +61,12 @@ def detect_fn(img: jnp.ndarray, cfg: SiftConfig, octaves: int) -> Keypoints:
     composition); production entry points run the same stages as separate
     persistently-cached programs instead.
     """
-    initial = compute_initial_image(img, cfg)
-    gaussians, dogs = build_pyramids(initial, cfg, octaves)
+    # Force the XLA blur here: this trace composes under vmap, and jax's
+    # pallas batching rule lifts the batch dim into the block shape (VMEM
+    # overflow for big images).
+    cfg_x = dataclasses.replace(cfg, use_pallas_blur=False)
+    initial = compute_initial_image(img, cfg_x)
+    gaussians, dogs = build_pyramids(initial, cfg_x, octaves)
     kp, _off0, _counts = _detect_refine_fused(dogs, cfg)
     mr = build_multi_rows(gaussians)
     cand = orient_all(mr, kp, cfg)
@@ -77,17 +81,18 @@ def _detect_refine_fused(dogs, cfg: SiftConfig):
 
     Returns (keypoints, off0, counts): ``off0`` is the converged layer offset
     per lane (the f64 parity profile recomputes kp.size from it on the host
-    with glibc pow); counts = (n_extrema, n_refined) are the TRUE stage
-    counts for capacity-overflow detection (n_extrema > cfg.extrema_cap or
-    n_refined > cfg.kp_cap means the capacity clipped real detections).
+    with glibc pow); counts = (n_extrema, n_refined, n_active) are the TRUE
+    stage counts for capacity-overflow detection (n_extrema >
+    cfg.extrema_cap, n_refined > cfg.kp_cap, or n_active > the phase-2
+    Newton capacity means real detections were clipped).
     """
     oct_id, zyx, valid, n_ext = detect_extrema_all(
         dogs, cfg.extremum_threshold(), cfg.extrema_cap, cfg.window_size
     )
-    kp, off0 = refine_keypoints_all(dogs, oct_id, zyx, valid, cfg)
+    kp, off0, n_active = refine_keypoints_all(dogs, oct_id, zyx, valid, cfg)
     n_ref = jnp.sum(kp.valid, dtype=jnp.int32)
     kp, off0 = kputil.compact(kp, cfg.kp_cap, extra=off0)
-    return kp, off0, (n_ext, n_ref)
+    return kp, off0, (n_ext, n_ref, n_active)
 
 
 # --- fused production programs (separately jitted + persistently cached;
@@ -135,12 +140,16 @@ def detect_and_describe_batch(
     """
     cfg = cfg or SiftConfig()
     imgs = jnp.asarray(images, cfg.dtype)
+    if imgs.ndim == 3:
+        # (B, H, W) grayscale: make the channel explicit so the shape-generic
+        # pyramid (no vmap) can't mistake the batch dim for (H, W, C).
+        imgs = imgs[..., None]
     h, w = imgs.shape[1], imgs.shape[2]
     scale = 2 if cfg.double_image_size else 1
     octaves = cfg.octaves_count(w * scale, h * scale)
 
     gaussians, dogs = _jit_pyramids_batch(imgs, cfg, octaves)
-    kp, off0, (n_ext, n_ref) = _jit_detect_refine_batch(dogs, cfg)
+    kp, off0, (n_ext, n_ref, n_active) = _jit_detect_refine_batch(dogs, cfg)
     if jnp.dtype(cfg.dtype) == jnp.float64:
         kp = _host_exact_sizes_mixed(kp, off0, cfg)
     mr = _jit_gauss_rows_batch(gaussians)
@@ -149,7 +158,10 @@ def detect_and_describe_batch(
     desc = _jit_desc_all_batch(mr, allkp, cfg)
     out = dataclasses.replace(allkp, desc=desc)
     if return_counts:
-        return out, dict(extrema=n_ext, refined=n_ref, oriented=n_cand)
+        return out, dict(
+            extrema=n_ext, refined=n_ref, oriented=n_cand,
+            refine_active=n_active,
+        )
     return out
 
 
@@ -179,9 +191,9 @@ def _detect_jit(img, cfg: SiftConfig, octaves: int) -> Keypoints:
 
 @partial(jax.jit, static_argnums=(1, 2))
 def _jit_pyramids_batch(imgs, cfg: SiftConfig, octaves: int):
-    return jax.vmap(
-        lambda im: build_pyramids(compute_initial_image(im, cfg), cfg, octaves)
-    )(imgs)
+    """Natively batched pyramids: every op is (B, ...)-shape-generic, so no
+    vmap is involved and the Pallas blur grids over the batch axis."""
+    return build_pyramids(compute_initial_image(imgs, cfg), cfg, octaves)
 
 
 @partial(jax.jit, static_argnums=(1, 2))

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -28,29 +29,35 @@ from sift_tpu.config import gaussian_half_kernel, half_kernel_weight_sum
 from sift_tpu.utils.numerics import xdiv, xmul
 
 
-def _shift_clamped(img: jnp.ndarray, u: int, axis: int) -> jnp.ndarray:
-    """img indexed at position i+u with index clamped to [0, n-1] along axis."""
-    n = img.shape[axis]
-    idx = np.clip(np.arange(n) + u, 0, n - 1)
-    return jnp.take(img, jnp.asarray(idx), axis=axis)
-
-
 def separable_blur(img: jnp.ndarray, half_kernel: list[float]) -> jnp.ndarray:
     """Two-pass 1D convolution matching src/image.cpp:156-214 bit-for-bit.
 
     ``img`` is (..., H, W); the horizontal pass (along x / axis -1) runs first
     like the reference, then the vertical pass.
+
+    The clamp-at-border taps are one edge-replicate pad + static slices —
+    pure data movement (identical values to clamped indexing), which XLA
+    fuses into a single elementwise loop; the earlier ``jnp.take`` clamped
+    gather lowered to the TPU scalar-gather slow path and dominated pyramid
+    time.
     """
     dtype = img.dtype
     k = [jnp.asarray(v, dtype) for v in half_kernel]
+    kk = len(half_kernel)
     sum_w = jnp.asarray(half_kernel_weight_sum(half_kernel), dtype)
 
     def one_axis(a: jnp.ndarray, axis: int) -> jnp.ndarray:
+        n = a.shape[axis]
+        pad = [(0, 0)] * a.ndim
+        pad[axis] = (kk - 1, kk - 1)
+        ap = jnp.pad(a, pad, mode="edge")
+
+        def sh(u: int) -> jnp.ndarray:
+            return jax.lax.slice_in_dim(ap, kk - 1 + u, kk - 1 + u + n, axis=axis)
+
         result = xmul(a, k[0])
-        for u in range(1, len(k)):
-            result = result + xmul(
-                k[u], _shift_clamped(a, u, axis) + _shift_clamped(a, -u, axis)
-            )
+        for u in range(1, kk):
+            result = result + xmul(k[u], sh(u) + sh(-u))
         return xdiv(result, sum_w)
 
     tmp = one_axis(img, -1)  # horizontal pass (x)

@@ -27,8 +27,11 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def pallas_blur_fits(shape, dtype=jnp.float32) -> bool:
+    """Can the strip kernels handle this image?  (Strips grid over the
+    non-convolved axis, so only one extreme dimension can overflow VMEM.)"""
     h, w = shape[-2], shape[-1]
-    return 2 * h * w * jnp.dtype(dtype).itemsize <= _VMEM_BUDGET
+    ib = jnp.dtype(dtype).itemsize
+    return 2 * 8 * w * ib <= _VMEM_BUDGET and 2 * h * 128 * ib <= _VMEM_BUDGET
 
 
 def _shift_clamped_tpu(x, u: int, axis: int):
@@ -53,34 +56,58 @@ def _shift_clamped_tpu(x, u: int, axis: int):
     return jnp.where(idx < -u, edge, rolled)
 
 
-def _pass_kernel(in_ref, out_ref, *, taps, inv_sum, axis):
-    x = in_ref[:]
+def _pass_kernel(in_ref, out_ref, *, taps, sum_w, axis, batched):
+    x = in_ref[0] if batched else in_ref[:]
     acc = x * taps[0]
     for u in range(1, len(taps)):
         acc = acc + taps[u] * (
             _shift_clamped_tpu(x, u, axis) + _shift_clamped_tpu(x, -u, axis)
         )
-    out_ref[:] = acc * inv_sum
+    # True division by sum_w (not reciprocal multiply): same rounding as the
+    # XLA path, so both paths produce bit-identical f32 pyramids.
+    acc = acc / jnp.asarray(sum_w, x.dtype)
+    if batched:
+        out_ref[0] = acc
+    else:
+        out_ref[:] = acc
+
+
+# Per-strip VMEM target.  Mosaic materializes several per-tap temporaries
+# (rolled copy, edge broadcast, select) on the scoped stack, so the strip
+# must stay well under the 16 MB scoped-VMEM limit divided by ~8 live
+# buffers (measured: 4 MB strips overflow at 16.3 MB scoped).
+_STRIP_BYTES = 1024 * 1024
 
 
 def _one_pass(img, taps, axis, interpret):
-    """One 1D pass, gridded over the NON-convolved axis.
+    """One 1D pass, gridded over the NON-convolved axis (and the batch).
 
     Rows are independent in the horizontal pass and columns in the vertical
-    pass, so blocks along the orthogonal axis need no halos and the scoped
-    VMEM footprint stays a few tap-temporaries times one strip.
+    pass, so blocks along the orthogonal axis need no halos and the VMEM
+    footprint stays a few tap-temporaries times one strip.  ``img`` is
+    (H, W) or (B, H, W); a leading batch dim becomes the major grid axis.
     """
-    h, w = img.shape
-    inv_sum = 1.0 / half_kernel_weight_sum(list(taps))
-    kernel = partial(_pass_kernel, taps=tuple(taps), inv_sum=inv_sum, axis=axis)
+    batched = img.ndim == 3
+    h, w = img.shape[-2], img.shape[-1]
+    ib = jnp.dtype(img.dtype).itemsize
+    sum_w = half_kernel_weight_sum(list(taps))
+    kernel = partial(
+        _pass_kernel, taps=tuple(taps), sum_w=sum_w, axis=axis, batched=batched
+    )
     if axis in (1, -1):  # horizontal: strip over rows
-        tr = min(h, 256)
+        tr = min(h, max(8, _STRIP_BYTES // (2 * w * ib) // 8 * 8))
         grid = (-(-h // tr),)
-        spec = pl.BlockSpec((tr, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        blk, imap = (tr, w), lambda i: (i, 0)
     else:  # vertical: strip over columns
-        tc = min(w, 256)
+        tc = min(w, max(128, _STRIP_BYTES // (2 * h * ib) // 128 * 128))
         grid = (-(-w // tc),)
-        spec = pl.BlockSpec((h, tc), lambda i: (0, i), memory_space=pltpu.VMEM)
+        blk, imap = (h, tc), lambda i: (0, i)
+    if batched:
+        grid = (img.shape[0],) + grid
+        blk = (1,) + blk
+        inner = imap
+        imap = lambda b, i: (b,) + inner(i)
+    spec = pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -92,12 +119,13 @@ def _one_pass(img, taps, axis, interpret):
 
 
 def pallas_separable_blur(img, half_kernel, interpret: bool = False):
-    """(H, W) separable blur, reference border semantics, VMEM-resident.
+    """(H, W) or (B, H, W) separable blur, reference border semantics.
 
-    Matches ops.blur.separable_blur up to f32 division-order rounding (the
-    XLA path divides by sum_w; here the reciprocal is folded — identical in
-    the f64 parity profile is not needed since that profile keeps the XLA
-    path).
+    Same accumulation order and true division by sum_w as
+    ops.blur.separable_blur; remaining differences are FMA-contraction
+    choices in the compiled elementwise chain (last ulp).  Do NOT vmap this —
+    pass the batch explicitly; jax's pallas batching rule would lift the
+    batch into the block shape and overflow VMEM on large images.
     """
     taps = [float(t) for t in half_kernel]
     tmp = _one_pass(img, taps, 1, interpret)  # horizontal (x) first
