@@ -234,9 +234,9 @@ def _newton_refine(
             center=st_center,
         )
 
-    # MAX_CONVERGENCE_STEPS (src/sift.hh:7); fori_loop keeps the compiled
-    # graph one step deep instead of 5 unrolled copies.
-    return jax.lax.fori_loop(0, 5, lambda _, st: step(st), state)
+    # Up to MAX_CONVERGENCE_STEPS=5 total across phases (src/sift.hh:7);
+    # fori_loop keeps the compiled graph one step deep instead of unrolled.
+    return jax.lax.fori_loop(0, steps, lambda _, st: step(st), state)
 
 
 def _accept_and_emit(state, octave_scale, oct_id, cfg, dtype, n):
