@@ -1,0 +1,99 @@
+"""(Re)render panorama artifacts from the reference scene collections.
+
+Usage:
+  python scripts/render_scene.py cave04_cyl [--out artifacts/...png]
+  python scripts/render_scene.py cave01 | cave04 | nis02 | nis06 | demo | own
+
+Scenes stitch at full source resolution with the production pipeline
+(detection on the TPU when available); outputs are downscaled to <=1600 px
+per side for committing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DATASET = "/root/reference/stitching/collection/Dataset"
+SCENES = {
+    "cave01": (f"{DATASET}/CAVE-01_atrium", "planar"),
+    "cave04": (f"{DATASET}/CAVE-04_times_square", "planar"),
+    "cave04_cyl": (f"{DATASET}/CAVE-04_times_square", "cylindrical"),
+    "nis02": (f"{DATASET}/NISwGSP-02_SantaMaria-all", "planar"),
+    "nis06": (f"{DATASET}/NISwGSP-06_PalazzoPubblico", "planar"),
+    # own-collection floor sweep: no STITCH-GRAPH file; chain graph.
+    "own": ("/root/reference/stitching/collection/own", "planar"),
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("scene", choices=sorted(SCENES))
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--downscale", type=int, default=1,
+                    help="subsample input images by this stride")
+    ap.add_argument("--no-seam", action="store_true",
+                    help="legacy feather blending (ghosting comparison)")
+    args = ap.parse_args()
+
+    import glob
+
+    import numpy as np
+
+    from sift_tpu.utils.io import load_image, save_image
+    from sift_tpu.utils.stitch_graph import parse_stitch_graph
+
+    scene_dir, mode = SCENES[args.scene]
+    graph_files = glob.glob(os.path.join(scene_dir, "*-STITCH-GRAPH.txt"))
+    files = sorted(
+        f for f in glob.glob(os.path.join(scene_dir, "*"))
+        if f.lower().endswith((".jpg", ".jpeg", ".png"))
+    )
+    imgs = [load_image(f) for f in files]
+    if args.downscale > 1:
+        imgs = [im[:: args.downscale, :: args.downscale] for im in imgs]
+    if graph_files:
+        graph = parse_stitch_graph(graph_files[0])
+        if graph.images_count > len(imgs):
+            print(f"note: graph declares {graph.images_count} images, mount "
+                  f"has {len(imgs)}; stitching the available subset")
+            graph = graph.subset(len(imgs))
+    else:
+        from sift_tpu.utils.stitch_graph import StitchGraph
+
+        n = len(imgs)
+        graph = StitchGraph(
+            center_index=n // 2, center_rotation=0.0, images_count=n,
+            edges=tuple((i, i + 1) for i in range(n - 1)),
+        )
+
+    t0 = time.time()
+    if mode == "cylindrical":
+        from sift_tpu.models.cylindrical import stitch_scene_cylindrical
+
+        pano = stitch_scene_cylindrical(
+            imgs, graph, seam_aware=not args.no_seam
+        )
+    else:
+        from sift_tpu.models.stitch import stitch_scene
+
+        pano = stitch_scene(imgs, graph, seam_aware=not args.no_seam)
+    print(f"stitched {len(imgs)} images -> {pano.shape} "
+          f"in {time.time() - t0:.1f}s")
+
+    # Commit-friendly size.
+    h, w = pano.shape[:2]
+    stride = max(1, int(np.ceil(max(h, w) / 1600)))
+    pano = pano[::stride, ::stride]
+
+    out = args.out or f"artifacts/{args.scene}_panorama.png"
+    save_image(out, pano)
+    print(f"wrote {out} ({pano.shape[1]}x{pano.shape[0]})")
+
+
+if __name__ == "__main__":
+    main()

@@ -70,6 +70,12 @@ def stitch_main(argv) -> int:
     imgs = [load_image(f) for f in images]
     if graphs:
         graph = parse_stitch_graph(graphs[0])
+        if graph.images_count > len(imgs):
+            print(
+                f"warning: graph declares {graph.images_count} images, "
+                f"found {len(imgs)}; stitching the available subset"
+            )
+            graph = graph.subset(len(imgs))
     else:
         n = len(imgs)
         graph = StitchGraph(

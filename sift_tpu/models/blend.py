@@ -1,0 +1,342 @@
+"""Seam-aware panorama compositing: global offsets, gain compensation,
+multiband blending.
+
+The reference's stitching results (stitching/results/scene_*_stit.png, from
+the missing notebook) composite with simple averaging; the rebuild's first
+pass did the same (feather-weighted average in ``stitch.blend_warped``) and
+showed the classic failure: any residual misalignment in the overlap turns
+into double-exposure ghosting, and exposure differences leave visible seams.
+
+This module implements the standard Brown & Lowe (IJCV 2007) compositing
+stack, TPU-first:
+
+- ``solve_global_offsets``: least-squares 2-D offsets over ALL match-graph
+  edges (the chain-toward-center tree integrates per-edge noise; the global
+  solve distributes it), host-side tiny solve.
+- ``estimate_gains``: per-image photometric gains from pairwise overlap
+  means (Brown & Lowe section 6), measured on a low-resolution warp of the
+  actual canvas layout.
+- ``multiband_blend``: Burt-Adelson Laplacian-pyramid blending over
+  argmax-weight seam masks.  Each canvas pixel's high frequencies come from
+  exactly one image (no ghosting); low frequencies blend over progressively
+  wider regions (no visible seams).  Runs as one ``lax.scan`` program over
+  the image stack: two passes (seam assignment, then per-level accumulation)
+  with fixed canvas shapes so XLA compiles a single fused program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sift_tpu.models.stitch import _warp_accumulate_impl
+
+
+# --------------------------------------------------------------------------
+# Global offset adjustment (cylindrical / translation panoramas)
+# --------------------------------------------------------------------------
+
+
+def solve_global_offsets(
+    n_images: int,
+    center: int,
+    edges: list[tuple[int, int]],
+    translations: list[np.ndarray],
+    weights: list[float] | None = None,
+) -> np.ndarray:
+    """Least-squares per-image 2-D offsets from per-edge translations.
+
+    ``translations[k]`` maps image ``edges[k][0]`` coords into
+    ``edges[k][1]`` coords (o_i - o_j = t_k); the center image is gauged to
+    the origin.  Weighted by match inlier counts when given.  Returns
+    (n_images, 2) offsets.
+    """
+    if not edges:
+        return np.zeros((n_images, 2))
+    w = np.sqrt(np.asarray(weights if weights is not None else [1.0] * len(edges),
+                           np.float64).clip(min=1e-3))
+    a = np.zeros((len(edges) + 1, n_images))
+    b = np.zeros((len(edges) + 1, 2))
+    for k, ((i, j), t) in enumerate(zip(edges, translations)):
+        a[k, i] = w[k]
+        a[k, j] = -w[k]
+        b[k] = w[k] * np.asarray(t, np.float64)
+    gauge = max(10.0 * w.max(), 1.0)
+    a[len(edges), center] = gauge  # pin o_center = 0
+    sol, *_ = np.linalg.lstsq(a, b, rcond=None)
+    return sol - sol[center]  # exact gauge
+
+
+# --------------------------------------------------------------------------
+# Gain compensation
+# --------------------------------------------------------------------------
+
+
+def estimate_gains(
+    images: list[np.ndarray],
+    homographies: list[np.ndarray],
+    out_h: int,
+    out_w: int,
+    scale: float = 0.25,
+    sigma_n: float = 10.0,
+    sigma_g: float = 0.1,
+    min_overlap: int = 64,
+) -> np.ndarray:
+    """Brown & Lowe gain compensation from low-resolution overlap means.
+
+    ``homographies[i]`` maps image i pixels -> canvas (same convention as
+    ``stitch.blend_warped``).  Warps every image onto a ``scale``-sized
+    canvas, measures mean luminance over every pairwise overlap, and solves
+    the normal equations of
+    ``sum_ij N_ij [ (g_i I_ij - g_j I_ji)^2 / sigma_n^2
+                    + (1 - g_i)^2 / sigma_g^2 ]``.
+    Returns (N,) gains (all ones when there are no usable overlaps).
+    """
+    n = len(images)
+    means, masks = _lowres_luminance(images, homographies, out_h, out_w, scale)
+
+    a = np.zeros((n, n))
+    b = np.zeros(n)
+    seen = False
+    for i in range(n):
+        for j in range(n):
+            if i == j:
+                continue
+            ov = masks[i] & masks[j]
+            n_ij = int(ov.sum())
+            if n_ij < min_overlap:
+                continue
+            seen = True
+            ibar_i = float(means[i][ov].mean())
+            ibar_j = float(means[j][ov].mean())
+            # d/dg_i of N_ij [ (g_i I_ij - g_j I_ji)^2/s_n^2 + (1-g_i)^2/s_g^2 ]
+            a[i, i] += n_ij * (ibar_i * ibar_i / sigma_n**2 + 1.0 / sigma_g**2)
+            a[i, j] -= n_ij * ibar_i * ibar_j / sigma_n**2
+            b[i] += n_ij / sigma_g**2
+    if not seen:
+        return np.ones(n)
+    gains = np.linalg.solve(a + 1e-9 * np.eye(n), b)
+    return np.clip(gains, 0.5, 2.0)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _warp_lowres(image, h_inv, lh: int, lw: int):
+    return _warp_accumulate_impl(image, h_inv, lh, lw)
+
+
+def _lowres_luminance(images, homographies, out_h, out_w, scale):
+    """Per-image (luminance, coverage) on a ``scale``-sized canvas."""
+    lh = max(int(round(out_h * scale)), 8)
+    lw = max(int(round(out_w * scale)), 8)
+    s = np.diag([lw / out_w, lh / out_h, 1.0])
+    means, masks = [], []
+    for img, h in zip(images, homographies):
+        h_inv = np.linalg.inv(s @ np.asarray(h, np.float64)).astype(np.float32)
+        acc, wgt = _warp_lowres(jnp.asarray(img, jnp.float32),
+                                jnp.asarray(h_inv), lh, lw)
+        acc = np.asarray(acc)
+        wgt = np.asarray(wgt)
+        means.append(acc.mean(axis=-1) / np.maximum(wgt, 1e-8))
+        masks.append(wgt > 0)
+    return means, masks
+
+
+def overlap_consistency(
+    images: list[np.ndarray],
+    homographies: list[np.ndarray],
+    out_h: int,
+    out_w: int,
+    scale: float = 0.5,
+    min_overlap: int = 64,
+) -> float:
+    """Alignment-quality metric: mean |lum_i - lum_j| over pairwise overlaps.
+
+    Measured pre-blend on the actual canvas layout; low values mean the
+    registered images agree where they overlap (ghosting-free composites),
+    high values mean misalignment or exposure drift.  Returns 0 when no
+    pair overlaps.
+    """
+    means, masks = _lowres_luminance(images, homographies, out_h, out_w, scale)
+    tot, cnt = 0.0, 0
+    for i in range(len(images)):
+        for j in range(i + 1, len(images)):
+            ov = masks[i] & masks[j]
+            n_ij = int(ov.sum())
+            if n_ij < min_overlap:
+                continue
+            tot += float(np.abs(means[i][ov] - means[j][ov]).sum())
+            cnt += n_ij
+    return tot / cnt if cnt else 0.0
+
+
+# --------------------------------------------------------------------------
+# Multiband (Laplacian pyramid) blending
+# --------------------------------------------------------------------------
+
+_BINOMIAL = np.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+
+
+def _blur5(x: jnp.ndarray) -> jnp.ndarray:
+    """Separable 5-tap binomial blur of (H, W) or (H, W, C), SAME padding
+    with kernel renormalization at the borders (so constants stay constant)."""
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[:, :, None]
+    k = jnp.asarray(_BINOMIAL, x.dtype)
+    ones = jnp.ones_like(x[:, :, :1])
+
+    def conv1d(v, axis):
+        pad = [(0, 0)] * 3
+        pad[axis] = (2, 2)
+        vp = jnp.pad(v, pad)
+        out = 0.0
+        for t in range(5):
+            sl = [slice(None)] * 3
+            sl[axis] = slice(t, t + v.shape[axis])
+            out = out + k[t] * vp[tuple(sl)]
+        return out
+
+    num = conv1d(conv1d(x, 0), 1)
+    den = conv1d(conv1d(ones, 0), 1)
+    out = num / den
+    return out[:, :, 0] if squeeze else out
+
+
+def _down(x: jnp.ndarray) -> jnp.ndarray:
+    return _blur5(x)[::2, ::2]
+
+
+def _up(x: jnp.ndarray, th: int, tw: int) -> jnp.ndarray:
+    shape = (th, tw) if x.ndim == 2 else (th, tw, x.shape[2])
+    return jax.image.resize(x, shape, method="bilinear")
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _multiband_scan(stack, h_invs_and_gains, out_h: int, out_w: int, bands: int):
+    """Seam-masked Laplacian blend of a same-shape image stack.
+
+    ``stack``: (N, H, W, C) source images; ``h_invs_and_gains``: ((N, 3, 3)
+    canvas->image inverse homographies, (N,) gains).  Canvas dims must be
+    multiples of 2^(bands-1).  Returns (out_h, out_w, C).
+    """
+    h_invs, gains = h_invs_and_gains
+    c = stack.shape[-1]
+    f32 = jnp.float32
+
+    # Pass A: per-pixel argmax of the feather weight = seam assignment.
+    def amax_step(carry, inp):
+        best_w, best_i, idx = carry
+        img, h_inv, _ = inp
+        _, wgt = _warp_accumulate_impl(img, h_inv, out_h, out_w)
+        better = wgt > best_w
+        return (
+            jnp.where(better, wgt, best_w),
+            jnp.where(better, idx, best_i),
+            idx + 1,
+        ), None
+
+    init_a = (
+        jnp.zeros((out_h, out_w), f32),
+        jnp.full((out_h, out_w), -1, jnp.int32),
+        jnp.int32(0),
+    )
+    (best_w, best_i, _), _ = jax.lax.scan(
+        amax_step, init_a, (stack, h_invs, gains)
+    )
+
+    # Pass B: accumulate mask-weighted Laplacian levels.
+    shapes = [(out_h, out_w)]
+    for _ in range(bands - 1):
+        shapes.append((shapes[-1][0] // 2, shapes[-1][1] // 2))
+
+    def accum_step(carry, inp):
+        nums, dens, idx = carry
+        img, h_inv, gain = inp
+        acc, wgt = _warp_accumulate_impl(img, h_inv, out_h, out_w)
+        val = gain * acc / jnp.maximum(wgt, 1e-8)[:, :, None]
+        m = ((best_i == idx) & (wgt > 0)).astype(f32)
+
+        # Normalized-convolution pyramid: dividing each level by the
+        # downsampled coverage extrapolates the image smoothly past its
+        # footprint, so coarse levels never pull in the zeros outside it
+        # (black halos at seams near coverage edges); in full-coverage
+        # interior cov == 1 and this reduces to the plain pyramid.
+        cov = (wgt > 0).astype(f32)
+        gv = [val]
+        gc = [cov]
+        gm = [m]
+        for _ in range(bands - 1):
+            cn = _down(gc[-1])
+            gv.append(
+                _down(gv[-1] * gc[-1][:, :, None])
+                / jnp.maximum(cn, 1e-6)[:, :, None]
+            )
+            gc.append(cn)
+            gm.append(_down(gm[-1]))
+        new_nums, new_dens = [], []
+        for lvl in range(bands):
+            if lvl < bands - 1:
+                lap = gv[lvl] - _up(gv[lvl + 1], *shapes[lvl])
+            else:
+                lap = gv[lvl]
+            new_nums.append(nums[lvl] + gm[lvl][:, :, None] * lap)
+            new_dens.append(dens[lvl] + gm[lvl])
+        return (tuple(new_nums), tuple(new_dens), idx + 1), None
+
+    init_b = (
+        tuple(jnp.zeros((*s, c), f32) for s in shapes),
+        tuple(jnp.zeros(s, f32) for s in shapes),
+        jnp.int32(0),
+    )
+    (nums, dens, _), _ = jax.lax.scan(
+        accum_step, init_b, (stack, h_invs, gains)
+    )
+
+    out = nums[-1] / jnp.maximum(dens[-1], 1e-8)[:, :, None]
+    for lvl in range(bands - 2, -1, -1):
+        out = _up(out, *shapes[lvl]) + (
+            nums[lvl] / jnp.maximum(dens[lvl], 1e-8)[:, :, None]
+        )
+    return jnp.where((best_w > 0)[:, :, None], out, 0.0)
+
+
+def multiband_blend(
+    images: list[np.ndarray],
+    homographies: list[np.ndarray],
+    gains: np.ndarray | None = None,
+    bands: int = 5,
+    max_canvas: int = 8192,
+    max_pixels: int = 24_000_000,
+) -> np.ndarray:
+    """Seam-aware multiband composite (drop-in for ``stitch.blend_warped``).
+
+    Canvas layout matches ``blend_warped`` (warped-corner bounds, clamped).
+    Falls back to feather strips when the canvas exceeds ``max_pixels``
+    (full-pyramid residency would stress HBM) or when source shapes differ.
+    """
+    from sift_tpu.models.stitch import blend_warped, _canvas_layout
+
+    out_h, out_w, t = _canvas_layout(images, homographies, max_canvas)
+    same_shape = len({img.shape for img in images}) == 1
+    if out_h * out_w > max_pixels or not same_shape:
+        return blend_warped(images, homographies, max_canvas=max_canvas)
+
+    # Pad up so every pyramid level halves cleanly; crop at the end.
+    mult = 1 << (bands - 1)
+    ph = -(-out_h // mult) * mult
+    pw = -(-out_w // mult) * mult
+
+    h_invs = np.stack(
+        [np.linalg.inv(t @ np.asarray(h)) for h in homographies]
+    ).astype(np.float32)
+    g = np.ones(len(images), np.float32) if gains is None else np.asarray(
+        gains, np.float32
+    )
+    stack = jnp.asarray(np.stack(images).astype(np.float32))
+    out = _multiband_scan(
+        stack, (jnp.asarray(h_invs), jnp.asarray(g)), ph, pw, bands
+    )
+    return np.clip(np.asarray(out)[:out_h, :out_w], 0.0, 255.0)

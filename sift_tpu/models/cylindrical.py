@@ -136,31 +136,36 @@ def stitch_scene_cylindrical(
     graph,
     cfg=None,
     focal: float | None = None,
+    seam_aware: bool = True,
+    diagnostics: dict | None = None,
 ) -> np.ndarray:
-    """Wide-FOV panorama: cylindrical prewarp + translation chaining.
+    """Wide-FOV panorama: cylindrical prewarp + globally-adjusted translations.
 
     Focal comes from the pairwise planar homographies unless given.  After
-    prewarping, each STITCH-GRAPH tree edge contributes a robust translation;
-    translations chain toward the center image and the warped images blend on
-    a flat canvas (reusing blend_warped with translation homographies).
+    prewarping, EVERY STITCH-GRAPH edge contributes a robust translation
+    (inlier-weighted); per-image offsets come from one global least-squares
+    solve over the whole edge set (chaining only the BFS tree integrates
+    per-edge noise into visible drift), and the warped images composite with
+    gain compensation + seam-aware multiband blending.
     """
     from sift_tpu import SiftConfig, detect_and_describe
+    from sift_tpu.models.blend import solve_global_offsets
     from sift_tpu.models.stitch import (
-        blend_warped,
+        composite,
         match_points,
         ransac_homography,
     )
 
     cfg = cfg or SiftConfig()
     parents = graph.bfs_parents()
-    edge_list = [
+    tree_edges = [
         (i, p) for i, p in parents.items() if i != graph.center_index
     ]
 
-    # Pass 1: planar pipeline for focal estimation.
+    # Pass 1: planar pipeline for focal estimation (tree edges suffice).
     kps = [detect_and_describe(img, cfg) for img in images]
     hs = []
-    for i, parent in edge_list:
+    for i, parent in tree_edges:
         p1, p2, ok = match_points(kps[i], kps[parent], cfg.ratio_threshold)
         h, _, _ = ransac_homography(p1, p2, ok, 1024)
         hs.append(h)
@@ -169,45 +174,48 @@ def stitch_scene_cylindrical(
         list(hs_host), images[0].shape[1], images[0].shape[0]
     )
 
-    # Pass 2: cylindrical prewarp + translation estimation on warped images.
+    # Pass 2: cylindrical prewarp + per-edge translations on warped images,
+    # over the FULL match graph (connected via bfs_parents' component).
     warped = []
     for img in images:
         wimg, _ = cylindrical_warp(jnp.asarray(img, jnp.float32), float(f))
         warped.append(wimg)
     kps_w = [detect_and_describe(np.asarray(w), cfg) for w in warped]
 
-    trans: dict[tuple[int, int], np.ndarray] = {}
+    all_edges = [
+        (a, b) for a, b in graph.edges
+        if a in parents and b in parents and a < len(images) and b < len(images)
+    ]
     results = []
-    for i, parent in edge_list:
-        p1, p2, ok = match_points(kps_w[i], kps_w[parent], cfg.ratio_threshold)
-        results.append((i, parent, p1, p2, ok))
+    for a, b in all_edges:
+        p1, p2, ok = match_points(kps_w[a], kps_w[b], cfg.ratio_threshold)
+        results.append((a, b, p1, p2, ok))
     # One host sync for all match buffers.
     results = [
-        (i, p, np.asarray(a), np.asarray(b), np.asarray(o))
-        for (i, p, a, b, o) in results
+        (a, b, np.asarray(x), np.asarray(y), np.asarray(o))
+        for (a, b, x, y, o) in results
     ]
-    for i, parent, p1, p2, ok in results:
+    edges, translations, weights = [], [], []
+    for a, b, p1, p2, ok in results:
         t, n_inl = robust_translation(p1, p2, ok)
-        trans[(i, parent)] = t
+        if n_inl >= 4:
+            edges.append((a, b))
+            translations.append(t)
+            weights.append(float(n_inl))
+    offsets = solve_global_offsets(
+        len(images), graph.center_index, edges, translations, weights
+    )
 
-    offsets: dict[int, np.ndarray] = {graph.center_index: np.zeros(2)}
-
-    def resolve(i: int) -> np.ndarray:
-        if i in offsets:
-            return offsets[i]
-        parent = parents[i]
-        offsets[i] = resolve(parent) + trans[(i, parent)]
-        return offsets[i]
-
-    for i in parents:
-        resolve(i)
-
-    order = sorted(offsets)
+    order = sorted(parents)
     homs = []
     for i in order:
         t = np.eye(3)
         t[0, 2], t[1, 2] = offsets[i]
         homs.append(t)
-    return blend_warped(
-        [np.asarray(warped[i], np.float32) for i in order], homs
-    )
+    warped_np = [np.asarray(warped[i], np.float32) for i in order]
+    if diagnostics is not None:
+        diagnostics.update(
+            focal=float(f), offsets=offsets, edges=edges,
+            warped=warped_np, homographies=homs,
+        )
+    return composite(warped_np, homs, seam_aware=seam_aware)

@@ -252,20 +252,17 @@ def _blend_strip(images: jnp.ndarray, h_invs: jnp.ndarray, strip_h: int, out_w: 
     return acc / jnp.maximum(wacc, 1e-8)[:, :, None]
 
 
-def blend_warped(
+def _canvas_layout(
     images: list[np.ndarray],
     homographies: list[np.ndarray],
     max_canvas: int = 8192,
-    strip_rows: int = 1024,
-) -> np.ndarray:
-    """Warp every image through its canvas homography and feather-blend.
+) -> tuple[int, int, np.ndarray]:
+    """Canvas (out_h, out_w, origin-shift T) from warped image corners.
 
-    ``homographies[i]`` maps image i pixel coords -> common frame.  The canvas
-    bounds come from the warped corners (host-side: shapes are data), clamped
-    to ``max_canvas`` per side (planar projective chains blow up as the
-    panorama field of view approaches 180 degrees).  The canvas streams in
-    row strips; accumulation over images runs on device (lax.scan for
-    same-shape stacks) and each strip transfers to the host exactly once.
+    ``homographies[i]`` maps image i pixel coords -> common frame; ``T`` is
+    the translation that brings the common frame into canvas coords.  Bounds
+    are clamped to ``max_canvas`` per side (planar projective chains blow up
+    as the panorama field of view approaches 180 degrees).
     """
     corners = []
     for img, h in zip(images, homographies):
@@ -291,6 +288,25 @@ def blend_warped(
     out_w = min(int(x_max - x_min + 1), max_canvas)
     out_h = min(int(y_max - y_min + 1), max_canvas)
     t = np.array([[1, 0, -x_min], [0, 1, -y_min], [0, 0, 1]], np.float64)
+    return out_h, out_w, t
+
+
+def blend_warped(
+    images: list[np.ndarray],
+    homographies: list[np.ndarray],
+    max_canvas: int = 8192,
+    strip_rows: int = 1024,
+) -> np.ndarray:
+    """Warp every image through its canvas homography and feather-blend.
+
+    The canvas streams in row strips; accumulation over images runs on
+    device (lax.scan for same-shape stacks) and each strip transfers to the
+    host exactly once.  For seam-aware compositing (no ghosting in
+    misaligned overlaps) see ``blend.multiband_blend``, the scene drivers'
+    default; this streaming feather average remains the arbitrarily-large
+    canvas fallback.
+    """
+    out_h, out_w, t = _canvas_layout(images, homographies, max_canvas)
 
     h_invs = np.stack(
         [np.linalg.inv(t @ np.asarray(h)) for h in homographies]
@@ -352,7 +368,7 @@ def stitch_pair(img1, img2, cfg=None, num_hypotheses: int = 2048) -> np.ndarray:
     p1, p2, ok = match_points(kp1, kp2, cfg.ratio_threshold)
     h, _, n_inl = ransac_homography(p1, p2, ok, num_hypotheses)
     eye = np.eye(3)
-    return blend_warped(
+    return composite(
         [np.asarray(img1, np.float32), np.asarray(img2, np.float32)],
         [np.asarray(h, np.float64), eye],
     )
@@ -363,6 +379,7 @@ def stitch_scene(
     graph,
     cfg=None,
     num_hypotheses: int = 2048,
+    seam_aware: bool = True,
 ) -> np.ndarray:
     """Multi-image panorama along a STITCH-GRAPH toward its center image.
 
@@ -417,7 +434,28 @@ def stitch_scene(
     )
 
     order = sorted(h_center)
-    return blend_warped(
+    return composite(
         [np.asarray(images[i], np.float32) for i in order],
         [rot @ h_center[i] for i in order],
+        seam_aware=seam_aware,
+    )
+
+
+def composite(
+    images: list[np.ndarray],
+    homographies: list[np.ndarray],
+    seam_aware: bool = True,
+    max_canvas: int = 8192,
+) -> np.ndarray:
+    """Gain-compensated seam-aware composite (feather fallback when off)."""
+    if not seam_aware:
+        return blend_warped(images, homographies, max_canvas=max_canvas)
+    from sift_tpu.models.blend import estimate_gains, multiband_blend
+
+    out_h, out_w, t = _canvas_layout(images, homographies, max_canvas)
+    gains = estimate_gains(
+        images, [t @ np.asarray(h) for h in homographies], out_h, out_w
+    )
+    return multiband_blend(
+        images, homographies, gains=gains, max_canvas=max_canvas
     )

@@ -32,6 +32,22 @@ class StitchGraph:
                 out.append(a)
         return sorted(out)
 
+    def subset(self, available: int) -> "StitchGraph":
+        """Restrict to the first ``available`` images (some dataset mounts
+        ship fewer files than ``images_count`` declares); keeps edges among
+        the available indices and re-centers if the center is missing."""
+        edges = tuple(
+            (a, b) for a, b in self.edges if a < available and b < available
+        )
+        center = self.center_index
+        if center >= available:
+            degree = [0] * available
+            for a, b in edges:
+                degree[a] += 1
+                degree[b] += 1
+            center = int(max(range(available), key=degree.__getitem__))
+        return StitchGraph(center, self.center_rotation, available, edges)
+
     def bfs_parents(self) -> dict[int, int]:
         """Parent pointers toward the center image along graph edges."""
         from collections import deque

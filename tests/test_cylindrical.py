@@ -120,7 +120,19 @@ def test_stitch_scene_cylindrical_end_to_end():
                         edges=((0, 1), (1, 2)))
     cfg = SiftConfig(dtype=jnp.float32, extrema_cap=1024, kp_cap=512,
                      ori_cap=2048)
-    pano = stitch_scene_cylindrical(crops, graph, cfg, focal=2000.0)
+    diag: dict = {}
+    pano = stitch_scene_cylindrical(crops, graph, cfg, focal=2000.0,
+                                    diagnostics=diag)
     # Large focal => near-planar: the mosaic should span ~the full scene.
     assert pano.shape[0] >= 400 and pano.shape[1] >= 560, pano.shape
     assert pano.std() > 10
+    # Quality gate: registered overlaps must agree (mean |dI| in overlap);
+    # crops of one photo are exactly alignable, so the bound is tight.
+    from sift_tpu.models.blend import overlap_consistency
+    from sift_tpu.models.stitch import _canvas_layout
+
+    oh, ow, t = _canvas_layout(diag["warped"], diag["homographies"])
+    ci = overlap_consistency(
+        diag["warped"], [t @ h for h in diag["homographies"]], oh, ow
+    )
+    assert ci < 6.0, f"overlap consistency degraded: {ci}"

@@ -22,11 +22,13 @@ from sift_tpu.utils.io import load_image
 TEXTURE = "/root/reference/stitching/collection/Dataset/CAVE-01_atrium/00.jpg"
 
 
-def render_sequence(n_frames=6, w=320, h=240, fx=300.0, baseline=0.08):
+def render_sequence(n_frames=6, w=320, h=240, fx=300.0, baseline=0.08,
+                    ts=None):
     """Planar-stack renderer: three texture bands at depths 4/6/9 units.
 
-    Camera translates along +x by ``baseline`` per frame; a plane at depth d
-    shifts by fx * t / d pixels.  Returns (frames, gt_centers).
+    Camera translates along +x by ``baseline`` per frame (or follows the
+    explicit per-frame ``ts`` trajectory, enabling loops/revisits); a plane
+    at depth d shifts by fx * t / d pixels.  Returns (frames, gt_centers).
     """
     tex = load_image(TEXTURE)[:, :, :3]
     tex = tex[: h + 60, : w + 120]
@@ -35,14 +37,20 @@ def render_sequence(n_frames=6, w=320, h=240, fx=300.0, baseline=0.08):
     bands = [tex[i * 80 : i * 80 + 100] for i in range(3)]
     frames = []
     centers = []
-    for f in range(n_frames):
-        t = f * baseline
+    if ts is None:
+        ts = [f * baseline for f in range(n_frames)]
+    for t in ts:
         img = np.zeros((h, w, 3), np.float32)
         for band, d in zip(bands, depths):
             shift = fx * t / d
-            x0 = int(round(shift))
+            # Subpixel sampling: integer rounding here would corrupt the
+            # ground truth itself (up to 0.5 px/frame of fake motion).
+            x0 = int(np.floor(shift))
+            frac = np.float32(shift - x0)
+            lo = band[:, x0 : x0 + w]
+            hi = band[:, x0 + 1 : x0 + 1 + w]
+            src = (1 - frac) * lo[:, : hi.shape[1]] + frac * hi
             y0 = {9.0: 0, 6.0: 80, 4.0: 160}[d]
-            src = band[:, x0 : x0 + w]
             img[y0 : y0 + src.shape[0], : src.shape[1]] = src[: h - y0]
         frames.append(img)
         centers.append(np.array([t, 0.0, 0.0]))
