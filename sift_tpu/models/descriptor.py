@@ -53,6 +53,9 @@ def compute_descriptors_all(
     cfg: SiftConfig,
     chunk: int = DESC_CHUNK,
     octave_of_volume: tuple[int, ...] | None = None,
+    vol_sel: jnp.ndarray | None = None,
+    n_octaves: int | None = None,
+    dispatch_radius: bool = False,
 ) -> jnp.ndarray:
     """Descriptors for a mixed-octave keypoint buffer: (N, 128) uint8.
 
@@ -60,13 +63,33 @@ def compute_descriptors_all(
     MultiRows layout of the per-octave gaussian stacks (unpadded — column
     zero-fill and row clamping are masked exactly like the reference's border
     test at src/sift.cpp:655-660).
+
+    ``vol_sel``/``n_octaves``: when ``mr`` concatenates several images'
+    octave stacks (the flattened batch path), ``vol_sel`` gives each lane's
+    volume index (img * n_octaves + octave) and ``n_octaves`` the per-image
+    octave count (per-octave tables repeat across images).
+
+    ``dispatch_radius``: per-chunk window-size dispatch.  The sample window
+    is statically sized for the worst-case radius (r_max = 40 at default
+    config) but per-keypoint radii span [20, 39] by layer, and compacted
+    buffers leave whole chunks invalid; with buffers sorted by size
+    (sort_and_dedup), each lax.map chunk branches (lax.switch) to the
+    smallest of {empty, r<=24, r<=32, r_max} windows that covers its max
+    radius.  Shrinking the window only drops exact-zero contributions, but
+    the einsum reduction order over samples changes, so f32 descriptors may
+    differ in the last ulp vs the monolithic window — do NOT enable on the
+    f64 parity path (it keeps byte parity only because f64 slack absorbs
+    the reordering; keep it off there anyway).  Only enable where no vmap
+    wraps this call: vmapped lax.switch executes every branch.
     """
     dtype = kp.x.dtype
-    octaves = len(mr.shapes)
+    octaves = n_octaves or len(mr.shapes)
     r_max = desc_radius_bound(cfg)
     n = kp.capacity
     oov = octave_of_volume or tuple(range(octaves))
     oct_sel = jnp.clip(kp.octave - oov[0], 0, octaves - 1)
+    gsel = vol_sel if vol_sel is not None else oct_sel
+    shapes = mr.shapes[:octaves]
 
     # src/sift.cpp:620-625: coords were already halved, hence octave-1.
     if cfg.double_image_size:
@@ -90,90 +113,117 @@ def compute_descriptors_all(
     )
     # Clamp to the image diagonal (src/sift.cpp:636-639), per-lane by octave.
     diag = lut(
-        [math.sqrt(s[2] * s[2] + s[1] * s[1]) for s in mr.shapes], oct_sel, dtype
+        [math.sqrt(s[2] * s[2] + s[1] * s[1]) for s in shapes], oct_sel, dtype
     )
     radius = jnp.minimum(tmp_radius, diag).astype(jnp.int32)
 
-    width_l = lut([s[2] for s in mr.shapes], oct_sel, jnp.int32)
-    height_l = lut([s[1] for s in mr.shapes], oct_sel, jnp.int32)
-    layer_c = jnp.clip(kp.layer, 0, mr.shapes[0][0] - 1)
+    width_l = lut([s[2] for s in shapes], oct_sel, jnp.int32)
+    height_l = lut([s[1] for s in shapes], oct_sel, jnp.int32)
+    layer_c = jnp.clip(kp.layer, 0, shapes[0][0] - 1)
     xc = jnp.clip(x, 0, width_l - 1)
     yc = jnp.clip(y, 0, height_l - 1)
-
-    offs = jnp.arange(-r_max, r_max + 1)
-    rg = offs[:, None].astype(dtype)  # (s, 1) row = y offset
-    cg = offs[None, :].astype(dtype)  # (1, s) col = x offset
-    s2 = (2 * r_max + 1) ** 2
-    p = 2 * r_max + 3
 
     rr = jnp.arange(DESC_HIST_WIDTH)
     oo = jnp.arange(DESC_HIST_BINS)
 
-    def desc_chunk(args):
-        osel, lay, yy, xx, xo, yo, rad, hw, ca, sa, pori, wl, hl, vmask = args
-        nc = lay.shape[0]
-        patches = gather_patches_multi(
-            mr, osel, lay, yy - r_max - 1, xx - r_max - 1, p
-        )
-        dx = patches[:, 1:-1, 2:] - patches[:, 1:-1, :-2]
-        dy = patches[:, :-2, 1:-1] - patches[:, 2:, 1:-1]
+    def make_desc_chunk(r: int):
+        offs = jnp.arange(-r, r + 1)
+        rg = offs[:, None].astype(dtype)  # (s, 1) row = y offset
+        cg = offs[None, :].astype(dtype)  # (1, s) col = x offset
+        s2 = (2 * r + 1) ** 2
+        p = 2 * r + 3
 
-        row_rot = (cg * sa[:, None, None] + rg * ca[:, None, None]) / hw[:, None, None]
-        col_rot = (cg * ca[:, None, None] - rg * sa[:, None, None]) / hw[:, None, None]
-        row_bin = (row_rot + DESC_HIST_WIDTH // 2) - 0.5
-        col_bin = (col_rot + DESC_HIST_WIDTH // 2) - 0.5
+        def desc_chunk(args):
+            osel, lay, yy, xx, xo, yo, rad, hw, ca, sa, pori, wl, hl, vmask = args
+            nc = lay.shape[0]
+            patches = gather_patches_multi(
+                mr, osel, lay, yy - r - 1, xx - r - 1, p
+            )
+            dx = patches[:, 1:-1, 2:] - patches[:, 1:-1, :-2]
+            dy = patches[:, :-2, 1:-1] - patches[:, 2:, 1:-1]
 
-        new_x = xo[:, None, None] + offs[None, None, :]
-        new_y = yo[:, None, None] + offs[None, :, None]
-        mask = (
-            (row_bin > -1.0) & (row_bin < DESC_HIST_WIDTH)
-            & (col_bin > -1.0) & (col_bin < DESC_HIST_WIDTH)
-            & (new_x > 0) & (new_x < wl[:, None, None] - 1)
-            & (new_y > 0) & (new_y < hl[:, None, None] - 1)
-            & (jnp.abs(offs[None, None, :]) <= rad[:, None, None])
-            & (jnp.abs(offs[None, :, None]) <= rad[:, None, None])
-            & vmask[:, None, None]
-        )
+            row_rot = (
+                cg * sa[:, None, None] + rg * ca[:, None, None]
+            ) / hw[:, None, None]
+            col_rot = (
+                cg * ca[:, None, None] - rg * sa[:, None, None]
+            ) / hw[:, None, None]
+            row_bin = (row_rot + DESC_HIST_WIDTH // 2) - 0.5
+            col_bin = (col_rot + DESC_HIST_WIDTH // 2) - 0.5
 
-        magnitude = jnp.sqrt(dx * dx + dy * dy)
-        angle = jnp.arctan2(dy, dx) - pori[:, None, None]
-        angle = jnp.fmod(jnp.fmod(angle, M_PI2) + M_PI2, M_PI2)
-        ori_bin = angle * bins_per_rad
-        weight = jnp.exp(-(row_rot * row_rot + col_rot * col_rot) / exp_denom)
-        m = jnp.where(mask, magnitude * weight, jnp.asarray(0, dtype))
+            new_x = xo[:, None, None] + offs[None, None, :]
+            new_y = yo[:, None, None] + offs[None, :, None]
+            mask = (
+                (row_bin > -1.0) & (row_bin < DESC_HIST_WIDTH)
+                & (col_bin > -1.0) & (col_bin < DESC_HIST_WIDTH)
+                & (new_x > 0) & (new_x < wl[:, None, None] - 1)
+                & (new_y > 0) & (new_y < hl[:, None, None] - 1)
+                & (jnp.abs(offs[None, None, :]) <= rad[:, None, None])
+                & (jnp.abs(offs[None, :, None]) <= rad[:, None, None])
+                & vmask[:, None, None]
+            )
 
-        row_bin = row_bin.reshape(nc, s2)
-        col_bin = col_bin.reshape(nc, s2)
-        ori_bin = ori_bin.reshape(nc, s2)
-        m = m.reshape(nc, s2)
+            magnitude = jnp.sqrt(dx * dx + dy * dy)
+            angle = jnp.arctan2(dy, dx) - pori[:, None, None]
+            angle = jnp.fmod(jnp.fmod(angle, M_PI2) + M_PI2, M_PI2)
+            ori_bin = angle * bins_per_rad
+            weight = jnp.exp(
+                -(row_rot * row_rot + col_rot * col_rot) / exp_denom
+            )
+            m = jnp.where(mask, magnitude * weight, jnp.asarray(0, dtype))
 
-        base_r = jnp.floor(row_bin)
-        base_c = jnp.floor(col_bin)
-        base_o = jnp.floor(ori_bin)
-        d_r = row_bin - base_r
-        d_c = col_bin - base_c
-        d_o = ori_bin - base_o
-        base_r = base_r.astype(jnp.int32)
-        base_c = base_c.astype(jnp.int32)
-        base_o = base_o.astype(jnp.int32)
+            row_bin = row_bin.reshape(nc, s2)
+            col_bin = col_bin.reshape(nc, s2)
+            ori_bin = ori_bin.reshape(nc, s2)
+            m = m.reshape(nc, s2)
 
-        fr = (m * (1.0 - d_r))[..., None] * (base_r[..., None] == rr) + (
-            m * d_r
-        )[..., None] * ((base_r + 1)[..., None] == rr)
-        fc = (1.0 - d_c)[..., None] * (base_c[..., None] == rr) + d_c[..., None] * (
-            (base_c + 1)[..., None] == rr
-        )
-        fo = (1.0 - d_o)[..., None] * (
-            (base_o % DESC_HIST_BINS)[..., None] == oo
-        ) + d_o[..., None] * (((base_o + 1) % DESC_HIST_BINS)[..., None] == oo)
+            base_r = jnp.floor(row_bin)
+            base_c = jnp.floor(col_bin)
+            base_o = jnp.floor(ori_bin)
+            d_r = row_bin - base_r
+            d_c = col_bin - base_c
+            d_o = ori_bin - base_o
+            base_r = base_r.astype(jnp.int32)
+            base_c = base_c.astype(jnp.int32)
+            base_o = base_o.astype(jnp.int32)
 
-        rc = fr[:, :, :, None] * fc[:, :, None, :]  # (nc, S2, 4, 4)
-        hist = jnp.einsum("nsrc,nso->nrco", rc, fo)  # (nc, 4, 4, 8)
-        return _hist_to_desc(hist.reshape(nc, 128))
+            fr = (m * (1.0 - d_r))[..., None] * (base_r[..., None] == rr) + (
+                m * d_r
+            )[..., None] * ((base_r + 1)[..., None] == rr)
+            fc = (1.0 - d_c)[..., None] * (base_c[..., None] == rr) + d_c[
+                ..., None
+            ] * ((base_c + 1)[..., None] == rr)
+            fo = (1.0 - d_o)[..., None] * (
+                (base_o % DESC_HIST_BINS)[..., None] == oo
+            ) + d_o[..., None] * (((base_o + 1) % DESC_HIST_BINS)[..., None] == oo)
+
+            rc = fr[:, :, :, None] * fc[:, :, None, :]  # (nc, S2, 4, 4)
+            hist = jnp.einsum("nsrc,nso->nrco", rc, fo)  # (nc, 4, 4, 8)
+            return _hist_to_desc(hist.reshape(nc, 128))
+
+        return desc_chunk
 
     chunk = min(chunk, n)
     nchunk = -(-n // chunk)
     pad_n = nchunk * chunk - n
+
+    if dispatch_radius:
+        radii = [r for r in (24, 32) if r < r_max] + [r_max]
+        thresholds = jnp.asarray(radii, jnp.int32)
+
+        def zero_chunk(args):
+            return jnp.zeros((args[1].shape[0], 128), jnp.uint8)
+
+        branches = [zero_chunk] + [make_desc_chunk(r) for r in radii]
+
+        def run_chunk(args):
+            rad, vmask = args[6], args[13]
+            mx = jnp.max(jnp.where(vmask, rad, 0))
+            cls = jnp.searchsorted(thresholds, mx).astype(jnp.int32)
+            cls = jnp.where(jnp.any(vmask), cls + 1, 0)
+            return jax.lax.switch(jnp.minimum(cls, len(radii)), branches, args)
+    else:
+        run_chunk = make_desc_chunk(r_max)
 
     def chunked(a):
         if pad_n:
@@ -181,9 +231,9 @@ def compute_descriptors_all(
         return a.reshape((nchunk, chunk) + a.shape[1:])
 
     desc = jax.lax.map(
-        desc_chunk,
+        run_chunk,
         (
-            chunked(oct_sel), chunked(layer_c), chunked(yc), chunked(xc),
+            chunked(gsel), chunked(layer_c), chunked(yc), chunked(xc),
             chunked(x), chunked(y), chunked(radius), chunked(hw_safe),
             chunked(cos_a), chunked(sin_a), chunked(kp.pori),
             chunked(width_l), chunked(height_l), chunked(kp.valid),

@@ -126,7 +126,39 @@ def _jit_dedup_compact_batch(cand, cap: int):
 
 @partial(jax.jit, static_argnums=(2,))
 def _jit_desc_all_batch(mr, allkp, cfg: SiftConfig):
-    return jax.vmap(lambda m, k: compute_descriptors_all(m, k, cfg))(mr, allkp)
+    """Descriptor stage over a FLATTENED (batch x capacity) lane space.
+
+    vmap over images would force every per-chunk lax.switch branch to
+    execute (batched predicate), so instead the B images' octave stacks
+    merge into one MultiRows gather space (volume = img * octaves + octave)
+    and one lax.map covers all B*cap lanes — each 128-lane chunk then picks
+    the smallest descriptor window covering its max radius, and wholly
+    invalid chunks (capacity slack) skip the window entirely.
+    """
+    from sift_tpu.ops.gather import MultiRows
+
+    b = allkp.x.shape[0]
+    cap = allkp.x.shape[1]
+    octaves = len(mr.shapes)
+    r = mr.rows.shape[1]
+    merged = MultiRows(
+        rows=mr.rows.reshape(b * r, mr.rows.shape[2]),
+        shapes=mr.shapes * b,
+        blk=mr.blk,
+        nbs=mr.nbs * b,
+        bases=tuple(
+            bi * r + base for bi in range(b) for base in mr.bases
+        ),
+    )
+    flat = jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]), allkp)
+    oct_sel = jnp.clip(flat.octave, 0, octaves - 1)
+    img_id = jnp.repeat(jnp.arange(b, dtype=oct_sel.dtype), cap)
+    vol_sel = img_id * octaves + oct_sel
+    desc = compute_descriptors_all(
+        merged, flat, cfg, vol_sel=vol_sel, n_octaves=octaves,
+        dispatch_radius=True,
+    )
+    return desc.reshape(b, cap, 128)
 
 
 def detect_and_describe_batch(
