@@ -37,6 +37,18 @@ def test_parse_stitch_graph():
             assert (min(i, p), max(i, p)) in g.edges
 
 
+def test_stitch_graph_subset():
+    """Dataset mounts can ship fewer images than the graph declares."""
+    g = parse_stitch_graph(GRAPH)  # declares 5 images, center 1
+    s = g.subset(3)
+    assert s.images_count == 3
+    assert all(a < 3 and b < 3 for a, b in s.edges)
+    assert s.center_index == 1
+    # Center outside the subset: re-centered to the best-connected node.
+    s2 = g.subset(1)
+    assert s2.center_index == 0 and s2.edges == ()
+
+
 def _random_h(rng):
     h = np.eye(3)
     h[0, 0] = 1.1
