@@ -53,6 +53,9 @@ def orient_all(
     cfg: SiftConfig,
     chunk: int = ORI_CHUNK,
     octave_of_volume: tuple[int, ...] | None = None,
+    vol_sel: jnp.ndarray | None = None,
+    n_octaves: int | None = None,
+    dispatch_radius: bool = False,
 ) -> Keypoints:
     """Assign orientations to a mixed-octave keypoint buffer (one program).
 
@@ -63,16 +66,22 @@ def orient_all(
     coordinates; outputs are in *input image* coordinates (halved when
     doubling, src/sift.cpp:522-526), one candidate per histogram bin with a
     validity mask (capacity N * num_bins); callers compact.
+
+    ``vol_sel``/``n_octaves``/``dispatch_radius``: flattened-batch gather
+    space and per-chunk window dispatch, same contract as
+    ``descriptor.compute_descriptors_all`` (see its docstring; in particular
+    do NOT enable dispatch under vmap).
     """
     dtype = kp.x.dtype
     n = kp.capacity
     nb = cfg.num_bins
-    octaves = len(mr.shapes)
+    octaves = n_octaves or len(mr.shapes)
     r_max = ori_radius_bound(cfg)
-    p = 2 * r_max + 3
 
     oov = octave_of_volume or tuple(range(octaves))
     oct_sel = jnp.clip(kp.octave - oov[0], 0, octaves - 1)
+    gsel = vol_sel if vol_sel is not None else oct_sel
+    shapes = mr.shapes[:octaves]
     pow_denom = lut([1.0 / math.pow(2, o) for o in oov], oct_sel, dtype)
     x = round_half_away(kp.x * pow_denom).astype(jnp.int32)  # src/sift.cpp:458
     y = round_half_away(kp.y * pow_denom).astype(jnp.int32)
@@ -81,48 +90,72 @@ def orient_all(
     radius = round_half_away(3.0 * scale).astype(jnp.int32)  # src/sift.cpp:463
     exp_denom = 2.0 * scale * scale
 
-    width_l = lut([s[2] for s in mr.shapes], oct_sel, jnp.int32)
-    height_l = lut([s[1] for s in mr.shapes], oct_sel, jnp.int32)
-    layer_c = jnp.clip(kp.layer, 0, mr.shapes[0][0] - 1)
+    width_l = lut([s[2] for s in shapes], oct_sel, jnp.int32)
+    height_l = lut([s[1] for s in shapes], oct_sel, jnp.int32)
+    layer_c = jnp.clip(kp.layer, 0, shapes[0][0] - 1)
     xc = jnp.clip(x, 0, width_l - 1)
     yc = jnp.clip(y, 0, height_l - 1)
 
-    # Sample grid: i is the x offset, j the y offset (src/sift.cpp:472-483).
-    ii = jnp.arange(-r_max, r_max + 1)
-    ig = ii[None, :]  # (1, s) x offsets
-    jg = ii[:, None]  # (s, 1) y offsets
+    def make_hist_chunk(r: int):
+        p = 2 * r + 3
+        # Sample grid: i is the x offset, j the y offset (src/sift.cpp:472-483).
+        ii = jnp.arange(-r, r + 1)
+        ig = ii[None, :]  # (1, s) x offsets
+        jg = ii[:, None]  # (s, 1) y offsets
 
-    def hist_chunk(args):
-        osel, lay, yy, xx, xo, yo, rad, edenom, wl, hl, vmask = args
-        patches = gather_patches_multi(
-            mr, osel, lay, yy - r_max - 1, xx - r_max - 1, p
-        )
-        dx = patches[:, 1:-1, 2:] - patches[:, 1:-1, :-2]
-        dy = patches[:, :-2, 1:-1] - patches[:, 2:, 1:-1]
-        magnitude = jnp.sqrt(dx * dx + dy * dy)
-        angle = jnp.arctan2(dy, dx)
-        w_exp = jnp.exp(
-            -(ig * ig + jg * jg).astype(dtype)[None] / edenom[:, None, None]
-        )
-        in_radius = (jnp.abs(ig) <= rad[:, None, None]) & (
-            jnp.abs(jg) <= rad[:, None, None]
-        )
-        in_img = (
-            (xo[:, None, None] + ig - 1 >= 0)
-            & (xo[:, None, None] + ig + 1 <= wl[:, None, None] - 1)
-            & (yo[:, None, None] + jg - 1 >= 0)
-            & (yo[:, None, None] + jg + 1 <= hl[:, None, None] - 1)
-        )
-        mask = in_radius & in_img & vmask[:, None, None]
-        h_idx = round_half_away(nb * (angle + math.pi) / M_PI2).astype(jnp.int32)
-        h_idx = jnp.where(h_idx < nb, h_idx, 0)  # src/sift.cpp:490
-        contrib = jnp.where(mask, w_exp * magnitude, jnp.asarray(0, dtype))
-        onehot = (h_idx[..., None] == jnp.arange(nb)).astype(dtype)
-        return jnp.einsum("nij,nijb->nb", contrib, onehot)
+        def hist_chunk(args):
+            osel, lay, yy, xx, xo, yo, rad, edenom, wl, hl, vmask = args
+            patches = gather_patches_multi(
+                mr, osel, lay, yy - r - 1, xx - r - 1, p
+            )
+            dx = patches[:, 1:-1, 2:] - patches[:, 1:-1, :-2]
+            dy = patches[:, :-2, 1:-1] - patches[:, 2:, 1:-1]
+            magnitude = jnp.sqrt(dx * dx + dy * dy)
+            angle = jnp.arctan2(dy, dx)
+            w_exp = jnp.exp(
+                -(ig * ig + jg * jg).astype(dtype)[None] / edenom[:, None, None]
+            )
+            in_radius = (jnp.abs(ig) <= rad[:, None, None]) & (
+                jnp.abs(jg) <= rad[:, None, None]
+            )
+            in_img = (
+                (xo[:, None, None] + ig - 1 >= 0)
+                & (xo[:, None, None] + ig + 1 <= wl[:, None, None] - 1)
+                & (yo[:, None, None] + jg - 1 >= 0)
+                & (yo[:, None, None] + jg + 1 <= hl[:, None, None] - 1)
+            )
+            mask = in_radius & in_img & vmask[:, None, None]
+            h_idx = round_half_away(nb * (angle + math.pi) / M_PI2).astype(
+                jnp.int32
+            )
+            h_idx = jnp.where(h_idx < nb, h_idx, 0)  # src/sift.cpp:490
+            contrib = jnp.where(mask, w_exp * magnitude, jnp.asarray(0, dtype))
+            onehot = (h_idx[..., None] == jnp.arange(nb)).astype(dtype)
+            return jnp.einsum("nij,nijb->nb", contrib, onehot)
+
+        return hist_chunk
 
     chunk = min(chunk, n)
     nchunk = -(-n // chunk)
     pad_n = nchunk * chunk - n
+
+    if dispatch_radius:
+        radii = [r for r in (11, 13) if r < r_max] + [r_max]
+        thresholds = jnp.asarray(radii, jnp.int32)
+
+        def zero_chunk(args):
+            return jnp.zeros((args[1].shape[0], nb), dtype)
+
+        branches = [zero_chunk] + [make_hist_chunk(r) for r in radii]
+
+        def run_chunk(args):
+            rad, vmask = args[6], args[10]
+            mx = jnp.max(jnp.where(vmask, rad, 0))
+            cls = jnp.searchsorted(thresholds, mx).astype(jnp.int32)
+            cls = jnp.where(jnp.any(vmask), cls + 1, 0)
+            return jax.lax.switch(jnp.minimum(cls, len(radii)), branches, args)
+    else:
+        run_chunk = make_hist_chunk(r_max)
 
     def chunked(a):
         if pad_n:
@@ -130,9 +163,9 @@ def orient_all(
         return a.reshape((nchunk, chunk) + a.shape[1:])
 
     hist = jax.lax.map(
-        hist_chunk,
+        run_chunk,
         (
-            chunked(oct_sel), chunked(layer_c), chunked(yc), chunked(xc),
+            chunked(gsel), chunked(layer_c), chunked(yc), chunked(xc),
             chunked(x), chunked(y), chunked(radius), chunked(exp_denom),
             chunked(width_l), chunked(height_l), chunked(kp.valid),
         ),

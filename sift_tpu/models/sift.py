@@ -109,14 +109,39 @@ def _jit_gauss_rows_batch(gaussians):
     return jax.vmap(lambda gs: build_multi_rows(gs))(gaussians)
 
 
+def _flatten_batch_lanes(mr, kp):
+    """(batch-of-MultiRows, (B, cap) Keypoints) -> merged gather space +
+    flattened lanes + per-lane volume index (img * octaves + octave)."""
+    from sift_tpu.ops.gather import merge_batch_multi_rows
+
+    b = kp.x.shape[0]
+    cap = kp.x.shape[1]
+    octaves = len(mr.shapes)
+    merged = merge_batch_multi_rows(mr, b)
+    flat = jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]), kp)
+    oct_sel = jnp.clip(flat.octave, 0, octaves - 1)
+    img_id = jnp.repeat(jnp.arange(b, dtype=oct_sel.dtype), cap)
+    return merged, flat, img_id * octaves + oct_sel, b, cap, octaves
+
+
 @partial(jax.jit, static_argnums=(2,))
 def _jit_orient_batch(mr, kp, cfg: SiftConfig):
-    def one(m, k):
-        cand = orient_all(m, k, cfg)
-        n_cand = jnp.sum(cand.valid, dtype=jnp.int32)
-        return kputil.compact(cand, cfg.ori_cap), n_cand
+    """Orientation over a flattened (batch x capacity) lane space; see
+    _jit_desc_all_batch for why vmap is avoided (per-chunk lax.switch)."""
+    merged, flat, vol_sel, b, cap, octaves = _flatten_batch_lanes(mr, kp)
+    cand = orient_all(
+        merged, flat, cfg, vol_sel=vol_sel, n_octaves=octaves,
+        dispatch_radius=True,
+    )
+    cand_b = jax.tree.map(
+        lambda a: a.reshape((b, cap * cfg.num_bins) + a.shape[1:]), cand
+    )
 
-    return jax.vmap(one)(mr, kp)
+    def one(c):
+        n_cand = jnp.sum(c.valid, dtype=jnp.int32)
+        return kputil.compact(c, cfg.ori_cap), n_cand
+
+    return jax.vmap(one)(cand_b)
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -135,25 +160,7 @@ def _jit_desc_all_batch(mr, allkp, cfg: SiftConfig):
     the smallest descriptor window covering its max radius, and wholly
     invalid chunks (capacity slack) skip the window entirely.
     """
-    from sift_tpu.ops.gather import MultiRows
-
-    b = allkp.x.shape[0]
-    cap = allkp.x.shape[1]
-    octaves = len(mr.shapes)
-    r = mr.rows.shape[1]
-    merged = MultiRows(
-        rows=mr.rows.reshape(b * r, mr.rows.shape[2]),
-        shapes=mr.shapes * b,
-        blk=mr.blk,
-        nbs=mr.nbs * b,
-        bases=tuple(
-            bi * r + base for bi in range(b) for base in mr.bases
-        ),
-    )
-    flat = jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]), allkp)
-    oct_sel = jnp.clip(flat.octave, 0, octaves - 1)
-    img_id = jnp.repeat(jnp.arange(b, dtype=oct_sel.dtype), cap)
-    vol_sel = img_id * octaves + oct_sel
+    merged, flat, vol_sel, b, cap, octaves = _flatten_batch_lanes(mr, allkp)
     desc = compute_descriptors_all(
         merged, flat, cfg, vol_sel=vol_sel, n_octaves=octaves,
         dispatch_radius=True,

@@ -178,6 +178,21 @@ def build_multi_rows(vols: list[jnp.ndarray], blk: int = 128) -> MultiRows:
     )
 
 
+def merge_batch_multi_rows(mr: MultiRows, b: int) -> MultiRows:
+    """Fold a vmapped-per-image MultiRows (rows (B, R, 2blk), static fields of
+    one image) into a single gather space over B * len(shapes) volumes, so a
+    flattened (B x capacity) lane buffer can index volume = img * O + octave.
+    """
+    r = mr.rows.shape[1]
+    return MultiRows(
+        rows=mr.rows.reshape(b * r, mr.rows.shape[2]),
+        shapes=mr.shapes * b,
+        blk=mr.blk,
+        nbs=mr.nbs * b,
+        bases=tuple(bi * r + base for bi in range(b) for base in mr.bases),
+    )
+
+
 def lut(values, sel: jnp.ndarray, dtype) -> jnp.ndarray:
     """Per-lane lookup of a tiny static table: out[i] = values[sel[i]].
 
