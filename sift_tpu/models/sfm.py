@@ -217,14 +217,23 @@ def run_sfm_from_matches(
         poses[f, 3:] = np.asarray(tvec, np.float64)
         registered.append(f)
 
-        # Triangulate new tracks between f and its best registered partner.
+        # Triangulate new tracks between f and its best registered partner:
+        # the max-disparity one, skipping near-zero baselines (a revisited
+        # viewpoint pairs almost-identical frames; triangulating them puts
+        # garbage points at quasi-infinite depth that survive cheirality).
         new = []
         for t, g in enumerate(track_obs):
             gd = dict(g)
             if track_point[t] < 0 and f in gd:
-                partners = [rf for rf in registered[:-1] if rf in gd]
-                if partners:
-                    new.append((t, partners[0], gd[partners[0]], gd[f]))
+                best_pf, best_d = -1, 0.0
+                for rf in registered[:-1]:
+                    if rf not in gd:
+                        continue
+                    d = float(np.linalg.norm(uv_of(rf, gd[rf]) - uv_of(f, gd[f])))
+                    if d > best_d:
+                        best_pf, best_d = rf, d
+                if best_pf >= 0 and best_d >= 4.0:
+                    new.append((t, best_pf, gd[best_pf], gd[f]))
         if new:
             cap_n = max(64, 1 << int(np.ceil(np.log2(len(new)))))
             q1 = np.zeros((cap_n, 2))
