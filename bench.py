@@ -91,7 +91,9 @@ def main() -> None:
 
     # Capacity honesty check: no stage may have clipped real detections.
     _, counts = detect_and_describe_batch(imgs, cfg, return_counts=True)
-    cap2 = cfg.refine_active_cap or max(128, cfg.extrema_cap // 2)
+    from sift_tpu.models.detect import refine_active_cap_default
+
+    cap2 = cfg.refine_active_cap or refine_active_cap_default(cfg.extrema_cap)
     for name, cap in (("extrema", cfg.extrema_cap), ("refined", cfg.kp_cap),
                       ("oriented", cfg.ori_cap), ("refine_active", cap2)):
         mx = int(np.asarray(counts[name]).max())

@@ -245,7 +245,22 @@ c2 = timeit("cube gather block rows (8192)", lambda: f_crw(rows0, zyx))
 print("  cubes equal:", bool(jnp.all(c1 == c2)))
 
 # ---------------- patch gather: dynamic_slice vs block rows ----------------
-from sift_tpu.models.orient import gather_patches, ori_radius_bound, pad_stack
+from sift_tpu.models.orient import ori_radius_bound
+
+
+# Local copies of the retired slow-path baselines this probe A/Bs against
+# (they used to live in models/orient.py before the block-rows rewrite).
+def pad_stack(g, r):
+    return jnp.pad(g, ((0, 0), (r + 1, r + 1), (r + 1, r + 1)))
+
+
+def gather_patches(padded, lay, yy, xx, r):
+    pp = 2 * r + 3
+
+    def one(l, y, x):
+        return jax.lax.dynamic_slice(padded, (l, y, x), (1, pp, pp))[0]
+
+    return jax.vmap(one)(lay, yy, xx)
 
 r_max = ori_radius_bound(cfg)
 p = 2 * r_max + 3

@@ -88,6 +88,32 @@ def stitch_main(argv) -> int:
     return 0
 
 
+def _warn_capacity_overflow(counts, cfg) -> None:
+    """Busy images can exceed the fixed stage capacities; the fused pipeline
+    then keeps the first CAP detections (in scan order) instead of erroring.
+    Check the true per-stage counts and tell the user to raise the caps
+    (SiftConfig(extrema_cap=..., kp_cap=..., ori_cap=...)) when clipped."""
+    import sys
+
+    import numpy as np
+
+    from sift_tpu.models.detect import refine_active_cap_default
+
+    caps = dict(
+        extrema=cfg.extrema_cap, refined=cfg.kp_cap, oriented=cfg.ori_cap,
+        refine_active=cfg.refine_active_cap
+        or refine_active_cap_default(cfg.extrema_cap),
+    )
+    for name, cap in caps.items():
+        mx = int(np.asarray(counts[name]).max())
+        if mx > cap:
+            print(
+                f"warning: {name} count {mx} exceeds capacity {cap}; "
+                f"detections were clipped — raise SiftConfig caps",
+                file=sys.stderr,
+            )
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] == "stitch":
@@ -118,8 +144,20 @@ def main(argv=None) -> int:
     t0 = time.time()
     img1 = load_image(args.image1)
     img2 = load_image(args.image2)
-    kp1 = detect_and_describe(img1, cfg)
-    kp2 = detect_and_describe(img2, cfg)
+    if img1.shape == img2.shape:
+        # One batched run also yields the true per-stage counts for the
+        # capacity-overflow warning at no extra cost.
+        from sift_tpu.models.sift import detect_and_describe_batch
+
+        both, counts = detect_and_describe_batch(
+            np.stack([img1, img2]), cfg, return_counts=True
+        )
+        kp1 = jax.tree.map(lambda a: a[0], both)
+        kp2 = jax.tree.map(lambda a: a[1], both)
+        _warn_capacity_overflow(counts, cfg)
+    else:
+        kp1 = detect_and_describe(img1, cfg)
+        kp2 = detect_and_describe(img2, cfg)
     idx, accept, best, _ = match_descriptors(
         kp1.desc, kp1.valid, kp2.desc, kp2.valid, cfg.ratio_threshold
     )

@@ -322,7 +322,10 @@ def multiband_blend(
     out_h, out_w, t = _canvas_layout(images, homographies, max_canvas)
     same_shape = len({img.shape for img in images}) == 1
     if out_h * out_w > max_pixels or not same_shape:
-        return blend_warped(images, homographies, max_canvas=max_canvas)
+        # Feather fallback keeps the gain compensation already estimated.
+        return blend_warped(
+            images, homographies, max_canvas=max_canvas, gains=gains
+        )
 
     # Pad up so every pyramid level halves cleanly; crop at the end.
     mult = 1 << (bands - 1)

@@ -206,7 +206,27 @@ def stitch_scene_cylindrical(
         len(images), graph.center_index, edges, translations, weights
     )
 
-    order = sorted(parents)
+    # Drop images not reachable from the center through SURVIVING edges:
+    # their offsets are unconstrained (lstsq minimum-norm ~ 0) and would
+    # paste them straight onto the panorama center.
+    reach = {graph.center_index}
+    frontier = [graph.center_index]
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    while frontier:
+        u = frontier.pop()
+        for v in adj.get(u, ()):
+            if v not in reach:
+                reach.add(v)
+                frontier.append(v)
+    dropped = sorted(set(parents) - reach)
+    if dropped:
+        print(f"warning: dropping images with no surviving translation "
+              f"edges to the center: {dropped}")
+
+    order = sorted(set(parents) & reach)
     homs = []
     for i in order:
         t = np.eye(3)

@@ -151,6 +151,14 @@ def _fit_quadratic(g, h):
 _REFINE_BLK = 64
 
 
+def refine_active_cap_default(n: int) -> int:
+    """Default phase-2 Newton buffer size for an n-lane extrema buffer.
+
+    Shared with bench.py's capacity-honesty assertion so the two can't
+    drift (measured: ~30-45% of extrema stay active after step 1)."""
+    return max(128, n // 2)
+
+
 def _newton_init(zyx, valid, dtype):
     n = zyx.shape[0]
     zero = jnp.zeros((n,), dtype)
@@ -390,7 +398,7 @@ def refine_keypoints_all(
         steps=1,
     )
     n_active = jnp.sum(state["active"], dtype=jnp.int32)
-    cap2 = cfg.refine_active_cap or max(128, n // 2)
+    cap2 = cfg.refine_active_cap or refine_active_cap_default(n)
     if cap2 >= n:
         state = _newton_refine(
             cube(oct_id), None, None, h_lane, w_lane, depth, border, dtype,

@@ -124,6 +124,13 @@ def _flatten_batch_lanes(mr, kp):
     return merged, flat, img_id * octaves + oct_sel, b, cap, octaves
 
 
+def _use_dispatch(cfg: SiftConfig) -> bool:
+    """Window-size dispatch reorders f32 sample reductions by ulps (verified
+    harmless on the oracle corpus) but the f64 bit-parity profile must run
+    the monolithic windows the stage-by-stage audit was recorded with."""
+    return jnp.dtype(cfg.dtype) != jnp.float64
+
+
 @partial(jax.jit, static_argnums=(2,))
 def _jit_orient_batch(mr, kp, cfg: SiftConfig):
     """Orientation over a flattened (batch x capacity) lane space; see
@@ -131,7 +138,7 @@ def _jit_orient_batch(mr, kp, cfg: SiftConfig):
     merged, flat, vol_sel, b, cap, octaves = _flatten_batch_lanes(mr, kp)
     cand = orient_all(
         merged, flat, cfg, vol_sel=vol_sel, n_octaves=octaves,
-        dispatch_radius=True,
+        dispatch_radius=_use_dispatch(cfg),
     )
     cand_b = jax.tree.map(
         lambda a: a.reshape((b, cap * cfg.num_bins) + a.shape[1:]), cand
@@ -161,10 +168,31 @@ def _jit_desc_all_batch(mr, allkp, cfg: SiftConfig):
     invalid chunks (capacity slack) skip the window entirely.
     """
     merged, flat, vol_sel, b, cap, octaves = _flatten_batch_lanes(mr, allkp)
-    desc = compute_descriptors_all(
-        merged, flat, cfg, vol_sel=vol_sel, n_octaves=octaves,
-        dispatch_radius=True,
-    )
+    dispatch = _use_dispatch(cfg)
+    if dispatch:
+        # The dedup buffer is ordered by the reference's clean_keypoints sort
+        # (x-major), which scatters radii across chunks and would send nearly
+        # every chunk to the worst-case window.  Permute lanes by descending
+        # octave-local size (= descending window radius; invalid lanes last)
+        # for the computation only, then invert — per-lane descriptor values
+        # don't depend on chunk membership.
+        pden = 2.0 ** (
+            -(flat.octave - (1 if cfg.double_image_size else 0)).astype(
+                flat.size.dtype
+            )
+        )
+        key = jnp.where(flat.valid, flat.size * pden, -1.0)
+        perm = jnp.argsort(-key, stable=True)
+        inv = jnp.argsort(perm, stable=True)
+        flat_p = jax.tree.map(lambda a: a[perm], flat)
+        desc = compute_descriptors_all(
+            merged, flat_p, cfg, vol_sel=vol_sel[perm], n_octaves=octaves,
+            dispatch_radius=True,
+        )[inv]
+    else:
+        desc = compute_descriptors_all(
+            merged, flat, cfg, vol_sel=vol_sel, n_octaves=octaves,
+        )
     return desc.reshape(b, cap, 128)
 
 

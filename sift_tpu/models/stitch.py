@@ -296,6 +296,7 @@ def blend_warped(
     homographies: list[np.ndarray],
     max_canvas: int = 8192,
     strip_rows: int = 1024,
+    gains: np.ndarray | None = None,
 ) -> np.ndarray:
     """Warp every image through its canvas homography and feather-blend.
 
@@ -311,6 +312,13 @@ def blend_warped(
     h_invs = np.stack(
         [np.linalg.inv(t @ np.asarray(h)) for h in homographies]
     ).astype(np.float32)
+    if gains is not None:
+        # Photometric gain compensation: cheap host-side scale (the scaled
+        # copies replace the working list, not the caller's arrays).
+        images = [
+            np.asarray(im, np.float32) * np.float32(g)
+            for im, g in zip(images, gains)
+        ]
     same_shape = len({img.shape for img in images}) == 1
     strip_h = min(strip_rows, out_h)
     n_strips = -(-out_h // strip_h)

@@ -54,7 +54,13 @@ def initialize(
     if process_id is not None:
         kwargs["process_id"] = process_id
     if kwargs:
-        jax.distributed.initialize(**kwargs)
+        # Tolerate an already-initialized backend/distributed service (a
+        # launcher may have initialized before us), same as the
+        # auto-detection branch below.
+        try:
+            jax.distributed.initialize(**kwargs)
+        except RuntimeError:
+            pass
     elif os.environ.get("TPU_WORKER_HOSTNAMES"):
         # Pod auto-detection; tolerate single-process/debug environments
         # (backend already up -> RuntimeError; no derivable coordinator ->
