@@ -38,7 +38,23 @@ def main() -> None:
                     help="subsample input images by this stride")
     ap.add_argument("--no-seam", action="store_true",
                     help="legacy feather blending (ghosting comparison)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on CPU (e.g. during a TPU tunnel outage)")
+    ap.add_argument("--cache", action="store_true",
+                    help="cache per-image detections (resume across runs)")
+    ap.add_argument("--detect-only", type=int, default=-1, metavar="N",
+                    help="with --cache: only detect the first N images, exit")
+    ap.add_argument("--big-caps", action="store_true",
+                    help="capacities for full-res (8+ Mpx) images: measured "
+                         "NIS-02 counts are ~120k extrema / 15k refined / "
+                         "18k oriented per frame (default caps clip those "
+                         "silently and degrade the geometry)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import glob
 
@@ -71,17 +87,58 @@ def main() -> None:
             edges=tuple((i, i + 1) for i in range(n - 1)),
         )
 
+    import jax.numpy as jnp
+
+    from sift_tpu import SiftConfig
+
+    caps = dict(extrema_cap=131072, kp_cap=20480, ori_cap=24576) \
+        if args.big_caps else {}
+    cfg = SiftConfig(dtype=jnp.float32, **caps)
+
+    kps = None
+    if args.cache:
+        from sift_tpu import detect_and_describe
+        from sift_tpu.utils.checkpoint import load_keypoints, save_keypoints
+
+        tag = "_big" if args.big_caps else ""
+        cache = f"/tmp/scene_kp_cache/{args.scene}_ds{args.downscale}{tag}"
+        os.makedirs(cache, exist_ok=True)
+        kps = []
+        todo = len(imgs) if args.detect_only < 0 else args.detect_only
+        for i, im in enumerate(imgs[:todo]):
+            path = f"{cache}/kp_{i:02d}.npz"
+            if os.path.exists(path):
+                kps.append(load_keypoints(path))
+                continue
+            t0 = time.time()
+            kp = detect_and_describe(im, cfg)
+            save_keypoints(path, kp)
+            kps.append(kp)
+            print(f"detect {i}: {time.time() - t0:.1f}s", flush=True)
+        if args.detect_only >= 0:
+            print(f"cached {len(kps)} detections; exiting (detect-only)")
+            return
+
     t0 = time.time()
     if mode == "cylindrical":
         from sift_tpu.models.cylindrical import stitch_scene_cylindrical
 
         pano = stitch_scene_cylindrical(
-            imgs, graph, seam_aware=not args.no_seam
+            imgs, graph, cfg=cfg, seam_aware=not args.no_seam
         )
     else:
         from sift_tpu.models.stitch import stitch_scene
 
-        pano = stitch_scene(imgs, graph, seam_aware=not args.no_seam)
+        from sift_tpu.models import stitch as _st
+
+        if args.big_caps:
+            # Full-res scenes: allow multiband on the whole clamped canvas.
+            _orig = _st.composite
+            _st.composite = lambda im, h, **kw: _orig(
+                im, h, **{**kw, "max_multiband_pixels": 80_000_000}
+            )
+        pano = stitch_scene(imgs, graph, cfg=cfg,
+                            seam_aware=not args.no_seam, kps=kps)
     print(f"stitched {len(imgs)} images -> {pano.shape} "
           f"in {time.time() - t0:.1f}s")
 

@@ -388,6 +388,7 @@ def stitch_scene(
     cfg=None,
     num_hypotheses: int = 2048,
     seam_aware: bool = True,
+    kps: list | None = None,
 ) -> np.ndarray:
     """Multi-image panorama along a STITCH-GRAPH toward its center image.
 
@@ -400,7 +401,8 @@ def stitch_scene(
     from sift_tpu import SiftConfig, detect_and_describe
 
     cfg = cfg or SiftConfig()
-    kps = [detect_and_describe(img, cfg) for img in images]
+    if kps is None:
+        kps = [detect_and_describe(img, cfg) for img in images]
 
     parents = graph.bfs_parents()
     edge_list = [
@@ -454,8 +456,15 @@ def composite(
     homographies: list[np.ndarray],
     seam_aware: bool = True,
     max_canvas: int = 8192,
+    max_multiband_pixels: int = 24_000_000,
 ) -> np.ndarray:
-    """Gain-compensated seam-aware composite (feather fallback when off)."""
+    """Gain-compensated seam-aware composite (feather fallback when off).
+
+    ``max_multiband_pixels`` bounds the canvas the Laplacian pyramids stay
+    resident for; larger canvases feather-blend (with gains).  Raise it on
+    hosts/chips with memory to spare — full-res scenes at 8192^2 need
+    ~2.5 GB of pyramid residency.
+    """
     if not seam_aware:
         return blend_warped(images, homographies, max_canvas=max_canvas)
     from sift_tpu.models.blend import estimate_gains, multiband_blend
@@ -465,5 +474,6 @@ def composite(
         images, [t @ np.asarray(h) for h in homographies], out_h, out_w
     )
     return multiband_blend(
-        images, homographies, gains=gains, max_canvas=max_canvas
+        images, homographies, gains=gains, max_canvas=max_canvas,
+        max_pixels=max_multiband_pixels,
     )
