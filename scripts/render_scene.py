@@ -49,6 +49,9 @@ def main() -> None:
                          "NIS-02 counts are ~120k extrema / 15k refined / "
                          "18k oriented per frame (default caps clip those "
                          "silently and degrade the geometry)")
+    ap.add_argument("--caps", type=int, nargs=3, metavar=("E", "K", "O"),
+                    help="explicit extrema/kp/ori capacities (overrides "
+                         "--big-caps); own full-res measures ~288k extrema")
     args = ap.parse_args()
 
     if args.cpu:
@@ -93,6 +96,10 @@ def main() -> None:
 
     caps = dict(extrema_cap=131072, kp_cap=20480, ori_cap=24576) \
         if args.big_caps else {}
+    if args.caps:
+        caps = dict(extrema_cap=args.caps[0], kp_cap=args.caps[1],
+                    ori_cap=args.caps[2])
+        args.big_caps = True  # big-canvas multiband + cache tag
     cfg = SiftConfig(dtype=jnp.float32, **caps)
 
     kps = None
@@ -137,8 +144,32 @@ def main() -> None:
             _st.composite = lambda im, h, **kw: _orig(
                 im, h, **{**kw, "max_multiband_pixels": 80_000_000}
             )
-        pano = stitch_scene(imgs, graph, cfg=cfg,
-                            seam_aware=not args.no_seam, kps=kps)
+        if args.cache and kps is not None:
+            # Resumable solve: cache each BFS-tree edge homography so big
+            # scenes can chunk across timeout-bounded runs.
+            from sift_tpu.models.stitch import (
+                compose_scene, solve_edge_homographies,
+            )
+
+            parents = graph.bfs_parents()
+            tree = [(i, p) for i, p in parents.items()
+                    if i != graph.center_index]
+            h_edge = {}
+            for e in tree:
+                hp = f"{cache}/h_{e[0]:02d}_{e[1]:02d}.npy"
+                if os.path.exists(hp):
+                    h_edge[e] = np.load(hp)
+                    continue
+                te = time.time()
+                h_edge.update(solve_edge_homographies(
+                    kps, graph, cfg, edge_subset=[e]))
+                np.save(hp, h_edge[e])
+                print(f"edge {e}: {time.time() - te:.1f}s", flush=True)
+            pano = compose_scene(imgs, graph, h_edge,
+                                 seam_aware=not args.no_seam)
+        else:
+            pano = stitch_scene(imgs, graph, cfg=cfg,
+                                seam_aware=not args.no_seam, kps=kps)
     print(f"stitched {len(imgs)} images -> {pano.shape} "
           f"in {time.time() - t0:.1f}s")
 

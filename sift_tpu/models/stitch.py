@@ -404,8 +404,20 @@ def stitch_scene(
     if kps is None:
         kps = [detect_and_describe(img, cfg) for img in images]
 
+    h_edge = solve_edge_homographies(kps, graph, cfg, num_hypotheses)
+    return compose_scene(images, graph, h_edge, seam_aware=seam_aware)
+
+
+def solve_edge_homographies(
+    kps: list, graph, cfg, num_hypotheses: int = 2048,
+    edge_subset: list | None = None,
+) -> dict[tuple[int, int], np.ndarray]:
+    """Per-BFS-tree-edge homographies {(i, parent): H_i->parent}.
+
+    ``edge_subset`` restricts the solve (resumable callers cache per edge).
+    """
     parents = graph.bfs_parents()
-    edge_list = [
+    edge_list = edge_subset if edge_subset is not None else [
         (i, parent) for i, parent in parents.items() if i != graph.center_index
     ]
     hs = []
@@ -415,7 +427,16 @@ def stitch_scene(
         hs.append(h)
     # Single device->host transfer for all edge homographies.
     hs_host = np.asarray(jnp.stack(hs), np.float64) if hs else np.zeros((0, 3, 3))
-    h_edge = {e: hs_host[n] for n, e in enumerate(edge_list)}
+    return {e: hs_host[n] for n, e in enumerate(edge_list)}
+
+
+def compose_scene(
+    images: list[np.ndarray], graph, h_edge: dict, seam_aware: bool = True,
+) -> np.ndarray:
+    """Chain edge homographies toward the center image and composite."""
+    import math
+
+    parents = graph.bfs_parents()
 
     # Chain toward center: H_i->center = H_parent->center @ H_i->parent.
     h_center: dict[int, np.ndarray] = {graph.center_index: np.eye(3)}
