@@ -71,6 +71,59 @@ def _normalize(uv: np.ndarray, k: np.ndarray) -> np.ndarray:
     return (uv - k[[0, 1], [2, 2]]) / k[[0, 1], [0, 1]]
 
 
+def _geometric_verify(
+    keypoints_uv, pair_matches, k, seed, thr: float = 2e-3, min_inl: int = 12,
+):
+    """Per-pair essential-matrix RANSAC filter before track building.
+
+    Raw ratio-test matches contain repeated-texture confusions (the same
+    patch on two scene planes); letting them into the union-find merges
+    tracks across physically distinct points and poisons every downstream
+    stage (COLMAP-style pipelines all geometrically verify pairs first).
+    Near-zero-disparity pairs (revisited viewpoints) are kept unfiltered:
+    two-view geometry is degenerate there, but identity-like matches carry
+    no translation signal to corrupt.
+
+    Off by default: on the rendered eval (near-planar scene, pure lateral
+    translation — the classic E-estimation degeneracy) filtering measurably
+    HURT (sweep-16 ATE 0.94% -> 6.0% of path) by thinning good tracks.
+    Enable for general scenes with parallax and repeated texture; prefer a
+    homography-aware verifier (GRIC-style model selection) before making it
+    the default.
+    """
+    import jax
+
+    from sift_tpu.models.geometry import ransac_essential
+
+    out = {}
+    for (i, j), m in pair_matches.items():
+        if len(m) < 16:
+            out[(i, j)] = m
+            continue
+        p1 = keypoints_uv[i][m[:, 0]]
+        p2 = keypoints_uv[j][m[:, 1]]
+        disp = np.median(np.linalg.norm(p2 - p1, axis=1))
+        if disp < 1.5:  # revisited / static pair: E is degenerate
+            out[(i, j)] = m
+            continue
+        cap = max(64, 1 << int(np.ceil(np.log2(len(m)))))
+        q1 = np.zeros((cap, 2))
+        q2 = np.zeros((cap, 2))
+        v = np.zeros(cap, bool)
+        q1[: len(m)] = _normalize(p1, k)
+        q2[: len(m)] = _normalize(p2, k)
+        v[: len(m)] = True
+        _, inl, cnt = ransac_essential(
+            jnp.asarray(q1, jnp.float32), jnp.asarray(q2, jnp.float32),
+            jnp.asarray(v), 1024, thr, seed + 7 * i + j,
+        )
+        inl = np.asarray(inl)[: len(m)]
+        if int(inl.sum()) >= min_inl:
+            out[(i, j)] = m[inl]
+        # else: drop the pair entirely (no consistent geometry)
+    return out
+
+
 def run_sfm_from_matches(
     keypoints_uv: list[np.ndarray],
     pair_matches: dict[tuple[int, int], np.ndarray],
@@ -79,6 +132,7 @@ def run_sfm_from_matches(
     min_track_len: int = 2,
     seed: int = 0,
     prune_px: float = 3.0,
+    verify_pairs: bool = False,
 ) -> SfmResult:
     """Incremental SfM from per-frame keypoint pixels + pairwise matches.
 
@@ -90,6 +144,9 @@ def run_sfm_from_matches(
     k = np.asarray(intrinsics, np.float64)
     fxy = np.array([k[0, 0], k[1, 1]])
     cxy = np.array([k[0, 2], k[1, 2]])
+
+    if verify_pairs:
+        pair_matches = _geometric_verify(keypoints_uv, pair_matches, k, seed)
 
     # ---- tracks ----
     tr = _Tracks()
