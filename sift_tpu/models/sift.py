@@ -136,10 +136,36 @@ def _jit_orient_batch(mr, kp, cfg: SiftConfig):
     """Orientation over a flattened (batch x capacity) lane space; see
     _jit_desc_all_batch for why vmap is avoided (per-chunk lax.switch)."""
     merged, flat, vol_sel, b, cap, octaves = _flatten_batch_lanes(mr, kp)
-    cand = orient_all(
-        merged, flat, cfg, vol_sel=vol_sel, n_octaves=octaves,
-        dispatch_radius=_use_dispatch(cfg),
-    )
+    if _use_dispatch(cfg):
+        # Radius-coherent chunks (see _jit_desc_all_batch): permute lanes by
+        # descending octave-local size, un-permute the candidate BLOCKS
+        # afterwards so downstream order (and ori_cap overflow behavior) is
+        # exactly as unpermuted.  Orientation's pow_denom is 2^-octave (no
+        # double-image shift, src/sift.cpp:458).
+        key = jnp.where(
+            flat.valid,
+            flat.size * 2.0 ** (-flat.octave.astype(flat.size.dtype)),
+            -1.0,
+        )
+        perm = jnp.argsort(-key, stable=True)
+        inv = jnp.argsort(perm, stable=True)
+        flat_p = jax.tree.map(lambda a: a[perm], flat)
+        cand = orient_all(
+            merged, flat_p, cfg, vol_sel=vol_sel[perm], n_octaves=octaves,
+            dispatch_radius=True,
+        )
+        nbins = cfg.num_bins
+        n_lanes = b * cap
+        cand = jax.tree.map(
+            lambda a: a.reshape((n_lanes, nbins) + a.shape[1:])[inv].reshape(
+                (n_lanes * nbins,) + a.shape[1:]
+            ),
+            cand,
+        )
+    else:
+        cand = orient_all(
+            merged, flat, cfg, vol_sel=vol_sel, n_octaves=octaves,
+        )
     cand_b = jax.tree.map(
         lambda a: a.reshape((b, cap * cfg.num_bins) + a.shape[1:]), cand
     )
