@@ -35,6 +35,7 @@ from sift_tpu.config import (
 )
 from sift_tpu.models.orient import max_size_octave
 from sift_tpu.ops.gather import MultiRows, build_multi_rows, gather_patches_multi, lut
+from sift_tpu.ops.pallas_desc import desc_hist_pallas
 from sift_tpu.utils.keypoints import Keypoints
 from sift_tpu.utils.numerics import round_half_away
 
@@ -56,6 +57,7 @@ def compute_descriptors_all(
     vol_sel: jnp.ndarray | None = None,
     n_octaves: int | None = None,
     dispatch_radius: bool = False,
+    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """Descriptors for a mixed-octave keypoint buffer: (N, 128) uint8.
 
@@ -81,7 +83,16 @@ def compute_descriptors_all(
     f64 parity path (it keeps byte parity only because f64 slack absorbs
     the reordering; keep it off there anyway).  Only enable where no vmap
     wraps this call: vmapped lax.switch executes every branch.
+
+    ``use_pallas``: run the post-gather histogram stage as the fused VMEM
+    Pallas kernel (ops/pallas_desc.py) instead of the XLA one-hot einsum
+    (same ulp-level contract as dispatch, and only active with it; the
+    kernel's atan2 is a ~2-ulp polynomial — Mosaic has no atan2).  On
+    non-TPU backends the kernel runs in interpreter mode (tests only).
+    None resolves to False until the on-chip win is recorded in PERF.md.
     """
+    use_pallas = bool(use_pallas) and dispatch_radius
+    interpret = jax.default_backend() != "tpu"
     dtype = kp.x.dtype
     octaves = n_octaves or len(mr.shapes)
     r_max = desc_radius_bound(cfg)
@@ -126,7 +137,7 @@ def compute_descriptors_all(
     rr = jnp.arange(DESC_HIST_WIDTH)
     oo = jnp.arange(DESC_HIST_BINS)
 
-    def make_desc_chunk(r: int):
+    def make_desc_chunk(r: int, fast: bool = False):
         offs = jnp.arange(-r, r + 1)
         rg = offs[:, None].astype(dtype)  # (s, 1) row = y offset
         cg = offs[None, :].astype(dtype)  # (1, s) col = x offset
@@ -139,15 +150,40 @@ def compute_descriptors_all(
             patches = gather_patches_multi(
                 mr, osel, lay, yy - r - 1, xx - r - 1, p
             )
+            if use_pallas:
+                inv_hw = 1.0 / hw
+                coef = inv_hw * inv_hw / exp_denom
+                zf = jnp.zeros_like(ca)
+                flt = jnp.stack(
+                    [ca, sa, pori, inv_hw, coef, zf, zf, zf], axis=1
+                )
+                zi = jnp.zeros_like(xo)
+                ints = jnp.stack(
+                    [xo, yo, rad, wl, hl, vmask.astype(jnp.int32), zi, zi],
+                    axis=1,
+                )
+                hist = desc_hist_pallas(
+                    patches, flt, ints, r, bins_per_rad, interpret=interpret
+                )
+                return _hist_to_desc(hist)
+
             dx = patches[:, 1:-1, 2:] - patches[:, 1:-1, :-2]
             dy = patches[:, :-2, 1:-1] - patches[:, 2:, 1:-1]
 
-            row_rot = (
-                cg * sa[:, None, None] + rg * ca[:, None, None]
-            ) / hw[:, None, None]
-            col_rot = (
-                cg * ca[:, None, None] - rg * sa[:, None, None]
-            ) / hw[:, None, None]
+            if fast:
+                # Reciprocal-multiply instead of 2 divides per sample; the
+                # ulp-level reordering is covered by the dispatch contract
+                # (see docstring) and pinned by test_fused_f32.
+                inv_hw = (1.0 / hw)[:, None, None]
+                row_rot = (cg * sa[:, None, None] + rg * ca[:, None, None]) * inv_hw
+                col_rot = (cg * ca[:, None, None] - rg * sa[:, None, None]) * inv_hw
+            else:
+                row_rot = (
+                    cg * sa[:, None, None] + rg * ca[:, None, None]
+                ) / hw[:, None, None]
+                col_rot = (
+                    cg * ca[:, None, None] - rg * sa[:, None, None]
+                ) / hw[:, None, None]
             row_bin = (row_rot + DESC_HIST_WIDTH // 2) - 0.5
             col_bin = (col_rot + DESC_HIST_WIDTH // 2) - 0.5
 
@@ -167,9 +203,18 @@ def compute_descriptors_all(
             angle = jnp.arctan2(dy, dx) - pori[:, None, None]
             angle = jnp.fmod(jnp.fmod(angle, M_PI2) + M_PI2, M_PI2)
             ori_bin = angle * bins_per_rad
-            weight = jnp.exp(
-                -(row_rot * row_rot + col_rot * col_rot) / exp_denom
-            )
+            if fast:
+                # Rotation preserves the norm: row_rot^2 + col_rot^2 ==
+                # (i^2 + j^2) / hw^2, so the gaussian weight is SEPARABLE —
+                # 2*(2r+1) exp calls per keypoint instead of (2r+1)^2.
+                o2 = (offs * offs).astype(dtype)
+                coef = ((1.0 / hw) * (1.0 / hw) / exp_denom)[:, None]
+                g1 = jnp.exp(-o2[None, :] * coef)  # (nc, 2r+1)
+                weight = g1[:, :, None] * g1[:, None, :]
+            else:
+                weight = jnp.exp(
+                    -(row_rot * row_rot + col_rot * col_rot) / exp_denom
+                )
             m = jnp.where(mask, magnitude * weight, jnp.asarray(0, dtype))
 
             row_bin = row_bin.reshape(nc, s2)
@@ -214,7 +259,7 @@ def compute_descriptors_all(
         def zero_chunk(args):
             return jnp.zeros((args[1].shape[0], 128), jnp.uint8)
 
-        branches = [zero_chunk] + [make_desc_chunk(r) for r in radii]
+        branches = [zero_chunk] + [make_desc_chunk(r, fast=True) for r in radii]
 
         def run_chunk(args):
             rad, vmask = args[6], args[13]

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from sift_tpu.config import M_PI2, ORI_SMOOTH_ITERATIONS, SiftConfig
 from sift_tpu.ops.gather import MultiRows, build_multi_rows, gather_patches_multi, lut
+from sift_tpu.ops.pallas_desc import ori_hist_pallas
 from sift_tpu.utils.keypoints import Keypoints
 from sift_tpu.utils.numerics import round_half_away
 
@@ -56,6 +57,7 @@ def orient_all(
     vol_sel: jnp.ndarray | None = None,
     n_octaves: int | None = None,
     dispatch_radius: bool = False,
+    use_pallas: bool | None = None,
 ) -> Keypoints:
     """Assign orientations to a mixed-octave keypoint buffer (one program).
 
@@ -67,11 +69,15 @@ def orient_all(
     doubling, src/sift.cpp:522-526), one candidate per histogram bin with a
     validity mask (capacity N * num_bins); callers compact.
 
-    ``vol_sel``/``n_octaves``/``dispatch_radius``: flattened-batch gather
-    space and per-chunk window dispatch, same contract as
+    ``vol_sel``/``n_octaves``/``dispatch_radius``/``use_pallas``:
+    flattened-batch gather space, per-chunk window dispatch, and the fused
+    VMEM histogram kernel — same contracts as
     ``descriptor.compute_descriptors_all`` (see its docstring; in particular
-    do NOT enable dispatch under vmap).
+    do NOT enable dispatch under vmap, and the Pallas kernel's atan2 is a
+    ~2-ulp polynomial).
     """
+    use_pallas = bool(use_pallas) and dispatch_radius
+    interpret = jax.default_backend() != "tpu"
     dtype = kp.x.dtype
     n = kp.capacity
     nb = cfg.num_bins
@@ -96,7 +102,7 @@ def orient_all(
     xc = jnp.clip(x, 0, width_l - 1)
     yc = jnp.clip(y, 0, height_l - 1)
 
-    def make_hist_chunk(r: int):
+    def make_hist_chunk(r: int, fast: bool = False):
         p = 2 * r + 3
         # Sample grid: i is the x offset, j the y offset (src/sift.cpp:472-483).
         ii = jnp.arange(-r, r + 1)
@@ -108,13 +114,34 @@ def orient_all(
             patches = gather_patches_multi(
                 mr, osel, lay, yy - r - 1, xx - r - 1, p
             )
+            if use_pallas:
+                inv_ed = 1.0 / edenom
+                zf = jnp.zeros_like(inv_ed)
+                flt = jnp.stack([inv_ed] + [zf] * 7, axis=1)
+                zi = jnp.zeros_like(xo)
+                ints = jnp.stack(
+                    [xo, yo, rad, wl, hl, vmask.astype(jnp.int32), zi, zi],
+                    axis=1,
+                )
+                return ori_hist_pallas(
+                    patches, flt, ints, r, nb, interpret=interpret
+                )
             dx = patches[:, 1:-1, 2:] - patches[:, 1:-1, :-2]
             dy = patches[:, :-2, 1:-1] - patches[:, 2:, 1:-1]
             magnitude = jnp.sqrt(dx * dx + dy * dy)
             angle = jnp.arctan2(dy, dx)
-            w_exp = jnp.exp(
-                -(ig * ig + jg * jg).astype(dtype)[None] / edenom[:, None, None]
-            )
+            if fast:
+                # exp(-(i^2+j^2)/d) is SEPARABLE: 2*(2r+1) exp calls per
+                # keypoint instead of (2r+1)^2 (ulp reorder covered by the
+                # dispatch contract; pinned by test_fused_f32).
+                g1 = jnp.exp(
+                    -(ii * ii).astype(dtype)[None, :] / edenom[:, None]
+                )  # (nc, 2r+1)
+                w_exp = g1[:, :, None] * g1[:, None, :]
+            else:
+                w_exp = jnp.exp(
+                    -(ig * ig + jg * jg).astype(dtype)[None] / edenom[:, None, None]
+                )
             in_radius = (jnp.abs(ig) <= rad[:, None, None]) & (
                 jnp.abs(jg) <= rad[:, None, None]
             )
@@ -146,7 +173,7 @@ def orient_all(
         def zero_chunk(args):
             return jnp.zeros((args[1].shape[0], nb), dtype)
 
-        branches = [zero_chunk] + [make_hist_chunk(r) for r in radii]
+        branches = [zero_chunk] + [make_hist_chunk(r, fast=True) for r in radii]
 
         def run_chunk(args):
             rad, vmask = args[6], args[10]
