@@ -112,6 +112,17 @@ def main() -> None:
     )
     kp = dataclasses.replace(allkp, desc=desc_all)
 
+    # --- head-to-head: fused VMEM Pallas histogram kernels (ops/pallas_desc)
+    # vs the XLA one-hot paths timed above ("alt" rows are excluded from the
+    # stage total; whichever wins becomes the default). ---
+    cfg_pl = dataclasses.replace(
+        cfg, use_pallas_desc=True, use_pallas_orient=True
+    )
+    add("alt orientation (Pallas hist)",
+        lambda: S._jit_orient_batch(mr, kp0, cfg_pl))
+    add("alt descriptors (Pallas hist)",
+        lambda: S._jit_desc_all_batch(mr, allkp, cfg_pl))
+
     # --- matcher: XLA vs Pallas on the production capacities ---
     matcher_xla = jax.jit(
         jax.vmap(match_descriptors, in_axes=(0, 0, 0, 0, None)),
@@ -154,7 +165,9 @@ def main() -> None:
     add(f"blur Pallas batch {B}", lambda: blur_pl_b(bbase))
 
     # --- summary ---
-    stage_rows = [r for r in rows if not r[0].startswith(("match ", "blur "))]
+    stage_rows = [
+        r for r in rows if not r[0].startswith(("match ", "blur ", "alt "))
+    ]
     total = sum(r[1] for r in stage_rows)
     print(f"\npipeline stages total (median): {total:.3f} ms "
           f"for batch {B} -> {B/ (total/1e3):.1f} fps equiv (stage-sync)")
@@ -174,7 +187,8 @@ def main() -> None:
         ]
         for name, med, mn in rows:
             pct = (f"{100*med/total:.1f}%"
-                   if not name.startswith(("match ", "blur ")) else "—")
+                   if not name.startswith(("match ", "blur ", "alt "))
+                   else "—")
             lines.append(f"| {name} | {med:.3f} | {mn:.3f} | {pct} |")
         lines.append("")
         with open(args.out, "w") as f:
