@@ -122,6 +122,9 @@ def main() -> None:
         lambda: S._jit_orient_batch(mr, kp0, cfg_pl))
     add("alt descriptors (Pallas hist)",
         lambda: S._jit_desc_all_batch(mr, allkp, cfg_pl))
+    cfg_py = dataclasses.replace(cfg, use_pallas_pyramid=True)
+    add("alt pyramids (fused octave kernel)",
+        lambda: S._jit_pyramids_batch(imgs, cfg_py, octaves))
 
     # --- matcher: XLA vs Pallas on the production capacities ---
     matcher_xla = jax.jit(

@@ -78,6 +78,13 @@ class SiftConfig:
     # Orientation histogram backend, same contract as use_pallas_desc.
     use_pallas_orient: bool | None = None
 
+    # Octave builder backend: None = auto (currently the XLA blur chain;
+    # flips to the fused multi-sigma Pallas kernel — all 5 chained blurs +
+    # DoGs in one VMEM pass, ops/pallas_pyramid.py — once its on-chip win
+    # AND pyramid bit-identity are verified).  f32 only; forced off under
+    # vmap like use_pallas_blur.
+    use_pallas_pyramid: bool | None = None
+
     # ----- derived, host-side helpers (pure Python f64 to match glibc) -----
 
     def gaussian_kernels(self) -> list[float]:

@@ -22,6 +22,7 @@ from sift_tpu.config import SiftConfig
 from sift_tpu.ops.blur import separable_blur
 from sift_tpu.ops.color import to_grayscale
 from sift_tpu.ops.pallas_blur import pallas_blur_fits, pallas_separable_blur
+from sift_tpu.ops.pallas_pyramid import fused_octave_blur, fused_octave_fits
 from sift_tpu.ops.resize import downsample_nearest_x2, upsample_bilinear
 from sift_tpu.config import gaussian_half_kernel
 
@@ -72,22 +73,34 @@ def build_pyramids(
     """
     kernels = cfg.gaussian_kernels()
     half_kernels = [gaussian_half_kernel(s) for s in kernels]
+    fused = bool(cfg.use_pallas_pyramid)  # None/auto resolves to False
 
     gaussians: list[jnp.ndarray] = []
     dogs: list[jnp.ndarray] = []
     img = initial
     for _ in range(octaves):
-        layers = [img]
-        for i in range(1, len(kernels)):
-            layers.append(_blur(layers[-1], half_kernels[i], cfg))
-        # Layer stack on axis -3: (S, H, W), or (B, S, H, W) when ``initial``
-        # carries a leading batch dim (the batched production path).
-        g = jnp.stack(layers, axis=-3)
-        gaussians.append(g)
-        # src/sift.cpp:217 (img[i+1] - img[i])
-        dogs.append(
-            jax.lax.slice_in_dim(g, 1, g.shape[-3], axis=-3)
-            - jax.lax.slice_in_dim(g, 0, g.shape[-3] - 1, axis=-3)
-        )
+        if fused and fused_octave_fits(img.shape, half_kernels[1:], cfg.dtype):
+            # One Pallas program per octave: 5 chained blurs + 5 DoGs in a
+            # single VMEM pass (ops/pallas_pyramid.py).  Do NOT use under
+            # vmap (pass the batch as a leading dim instead).
+            gs, ds = fused_octave_blur(img, half_kernels[1:])
+            layers = [img] + gs
+            g = jnp.stack(layers, axis=-3)
+            gaussians.append(g)
+            dogs.append(jnp.stack(ds, axis=-3))
+        else:
+            layers = [img]
+            for i in range(1, len(kernels)):
+                layers.append(_blur(layers[-1], half_kernels[i], cfg))
+            # Layer stack on axis -3: (S, H, W), or (B, S, H, W) when
+            # ``initial`` carries a leading batch dim (the batched
+            # production path).
+            g = jnp.stack(layers, axis=-3)
+            gaussians.append(g)
+            # src/sift.cpp:217 (img[i+1] - img[i])
+            dogs.append(
+                jax.lax.slice_in_dim(g, 1, g.shape[-3], axis=-3)
+                - jax.lax.slice_in_dim(g, 0, g.shape[-3] - 1, axis=-3)
+            )
         img = downsample_nearest_x2(layers[len(kernels) - 3])
     return gaussians, dogs

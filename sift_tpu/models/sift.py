@@ -64,7 +64,9 @@ def detect_fn(img: jnp.ndarray, cfg: SiftConfig, octaves: int) -> Keypoints:
     # Force the XLA blur here: this trace composes under vmap, and jax's
     # pallas batching rule lifts the batch dim into the block shape (VMEM
     # overflow for big images).
-    cfg_x = dataclasses.replace(cfg, use_pallas_blur=False)
+    cfg_x = dataclasses.replace(
+        cfg, use_pallas_blur=False, use_pallas_pyramid=False
+    )
     initial = compute_initial_image(img, cfg_x)
     gaussians, dogs = build_pyramids(initial, cfg_x, octaves)
     kp, _off0, _counts = _detect_refine_fused(dogs, cfg)

@@ -1,0 +1,173 @@
+"""Fused multi-sigma octave blur: one Pallas kernel per octave.
+
+The XLA pyramid runs 5 incremental blurs x 2 separable passes per octave,
+each streaming the full image through HBM (plus 5 DoG subtract passes):
+~25 HBM round trips per octave.  This kernel computes the whole octave —
+five chained blurs (src/sift.cpp:161-174) and the five DoG differences
+(src/sift.cpp:209-225) — inside VMEM over row strips: one strided read of
+the seed layer, ten strip writes.
+
+Strips overlap via ``pl.Element`` halo windows: a strip of S rows is
+delivered with ``halo = sum_i radius_i`` extra rows on each side, enough for
+the whole blur chain; rows outside the image (the Element padding region is
+garbage) are replaced by replicas of the true border row after the seed load
+and after every vertical pass, which reproduces the reference's
+clamp-at-border semantics for every blur in the chain exactly
+(src/image.cpp:174-181; the per-pixel ``sum_w`` renormalizer is a constant,
+see ops/blur.py).
+
+Accumulation order matches ops/blur.separable_blur tap for tap (horizontal
+then vertical, ``acc = x*k0; acc += k_u*(x[+u] + x[-u]); acc /= sum_w``), so
+remaining differences vs the XLA path are compiled FMA-contraction choices
+(last ulp) — the same contract as ops/pallas_blur.  f32 fast profile only.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sift_tpu.config import half_kernel_weight_sum
+from sift_tpu.ops.pallas_blur import _shift_clamped_tpu
+
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _chain_halo(half_kernels: list[list[float]]) -> int:
+    """Total vertical halo: the sum of the chained blur radii."""
+    return sum(len(hk) - 1 for hk in half_kernels)
+
+
+def pick_strip(w: int, halo: int, n_out: int, itemsize: int = 4) -> int | None:
+    """Largest strip whose double-buffered blocks + temporaries fit VMEM."""
+    for strip in (256, 128, 64, 32):
+        ext = strip + 2 * halo
+        est = itemsize * (2 * ext * w + 2 * n_out * strip * w + 6 * ext * w)
+        if est <= _VMEM_BUDGET:
+            return strip
+    return None
+
+
+def fused_octave_fits(shape, half_kernels, dtype=jnp.float32) -> bool:
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
+    w = shape[-1]
+    halo = _chain_halo(half_kernels)
+    return pick_strip(w, halo, 2 * len(half_kernels)) is not None
+
+
+def _fix_borders(x, base, height):
+    """Replace rows outside [0, height) with replicas of the border rows.
+
+    ``base`` is the (traced) global image row of block row 0.  Replicas make
+    every subsequent vertical tap read the clamped value without per-tap
+    index logic; they must be refreshed after each vertical pass (a blurred
+    replica is NOT the replica of the blurred border row).
+    """
+    ext = x.shape[0]
+    gidx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) + base
+    top = jax.lax.dynamic_slice_in_dim(x, jnp.clip(-base, 0, ext - 1), 1, 0)
+    bot = jax.lax.dynamic_slice_in_dim(
+        x, jnp.clip(height - 1 - base, 0, ext - 1), 1, 0
+    )
+    x = jnp.where(gidx < 0, top, x)
+    return jnp.where(gidx > height - 1, bot, x)
+
+
+def _h_pass(x, taps, sum_w):
+    """Horizontal pass with lane clamp at the true image width."""
+    acc = x * taps[0]
+    for u in range(1, len(taps)):
+        acc = acc + taps[u] * (
+            _shift_clamped_tpu(x, u, 1) + _shift_clamped_tpu(x, -u, 1)
+        )
+    return acc / jnp.asarray(sum_w, x.dtype)
+
+
+def _v_pass(x, taps, sum_w):
+    """Vertical pass as plain rolls: border replicas supply clamped values,
+    and roll wraparound only lands in the (unused) decayed halo margin."""
+    n = x.shape[0]
+    acc = x * taps[0]
+    for u in range(1, len(taps)):
+        up = pltpu.roll(x, (n - u) % n, axis=0)  # x[i + u]
+        dn = pltpu.roll(x, u, axis=0)  # x[i - u]
+        acc = acc + taps[u] * (up + dn)
+    return acc / jnp.asarray(sum_w, x.dtype)
+
+
+def _octave_kernel(in_ref, *out_refs, taps_list, sum_ws, strip, halo, height):
+    x = in_ref[:]  # (ext, W): strip rows + halo on each side
+    base = pl.program_id(1) * strip - halo
+    x = _fix_borders(x, base, height)
+    n_layers = len(taps_list)
+    prev = x
+    prev_strip = x[halo:halo + strip, :]
+    for i in range(n_layers):
+        h = _h_pass(prev, taps_list[i], sum_ws[i])
+        v = _v_pass(h, taps_list[i], sum_ws[i])
+        v = _fix_borders(v, base, height)
+        g_strip = v[halo:halo + strip, :]
+        out_refs[i][:] = g_strip
+        # dog[i] = gauss[i+1] - gauss[i]  (src/sift.cpp:217)
+        out_refs[n_layers + i][:] = g_strip - prev_strip
+        prev = v
+        prev_strip = g_strip
+
+
+def fused_octave_blur(
+    img: jnp.ndarray,
+    half_kernels: list[list[float]],
+    interpret: bool | None = None,
+) -> tuple[list[jnp.ndarray], list[jnp.ndarray]]:
+    """One octave in one kernel: seed (B, H, W) or (H, W) -> (gauss, dogs).
+
+    ``half_kernels`` are the chained blur half-kernels (cfg kernels[1:]);
+    returns ``gauss`` = [blur_1(seed), blur_2(...), ...] (len N) and
+    ``dogs`` = [gauss[0] - seed, gauss[1] - gauss[0], ...] (len N).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[None]
+    b, h, w = img.shape
+    n = len(half_kernels)
+    taps_list = tuple(tuple(float(t) for t in hk) for hk in half_kernels)
+    sum_ws = tuple(half_kernel_weight_sum(list(hk)) for hk in half_kernels)
+    halo = _chain_halo(half_kernels)
+    strip = pick_strip(w, halo, 2 * n, jnp.dtype(img.dtype).itemsize)
+    assert strip is not None, (img.shape, "use fused_octave_fits first")
+    strip = min(strip, max(32, h))
+    nstrips = -(-h // strip)
+    ext = strip + 2 * halo
+    pad_hi = halo + (nstrips * strip - h)
+
+    kernel = partial(
+        _octave_kernel, taps_list=taps_list, sum_ws=sum_ws, strip=strip,
+        halo=halo, height=h,
+    )
+    out_spec = pl.BlockSpec((None, strip, w), lambda bi, s: (bi, s, 0),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b, nstrips),
+        out_shape=[jax.ShapeDtypeStruct((b, h, w), img.dtype)] * (2 * n),
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Squeezed(), pl.Element(ext, (halo, pad_hi)),
+                 pl.Element(w, (0, 0))),
+                lambda bi, s: (bi, s * strip, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=[out_spec] * (2 * n),
+        interpret=interpret,
+    )(img)
+    if squeeze:
+        outs = [o[0] for o in outs]
+    return list(outs[:n]), list(outs[n:])
