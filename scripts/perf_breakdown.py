@@ -126,6 +126,30 @@ def main() -> None:
     add("alt pyramids (fused octave kernel)",
         lambda: S._jit_pyramids_batch(imgs, cfg_py, octaves))
 
+    # --- detect+refine sub-stages (where do those ms go?) ---
+    from sift_tpu.models.detect import detect_extrema_all, refine_keypoints_all
+
+    @jax.jit
+    def extrema_only(dogs):
+        return jax.vmap(
+            lambda d: detect_extrema_all(
+                d, cfg.extremum_threshold(), cfg.extrema_cap, cfg.window_size
+            )
+        )(dogs)
+
+    oct_id_b, zyx_b, valid_b, _tot = add(
+        "alt detect: extrema+compact only", lambda: extrema_only(dogs)
+    )
+
+    @jax.jit
+    def refine_only(dogs, oct_id, zyx, valid):
+        return jax.vmap(
+            lambda d, o, z, v: refine_keypoints_all(d, o, z, v, cfg)
+        )(dogs, oct_id, zyx, valid)
+
+    add("alt detect: refine only",
+        lambda: refine_only(dogs, oct_id_b, zyx_b, valid_b))
+
     # --- matcher: XLA vs Pallas on the production capacities ---
     matcher_xla = jax.jit(
         jax.vmap(match_descriptors, in_axes=(0, 0, 0, 0, None)),
