@@ -48,7 +48,9 @@ def _mk_problem(seed: int, n: int, h: int, w: int):
     # Input-image coords (doubled-image octave 0: pow_denom = 2).
     x = rng.uniform(3, w // 2 - 3, n)
     y = rng.uniform(3, h // 2 - 3, n)
-    size = rng.uniform(0.8, 1.6, n)
+    # Sizes up to the per-layer bound so every dispatch class (including the
+    # worst-case window, where the kernel halves its block) is exercised.
+    size = rng.uniform(0.8, 1.75, n)
     pori = rng.uniform(0, 2 * np.pi, n)
     valid = rng.uniform(size=n) < 0.9
     kp = Keypoints(
