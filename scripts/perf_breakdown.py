@@ -55,6 +55,11 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--reps", type=int, default=30)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--pallas-hist", action="store_true",
+        help="time the Pallas desc/orient histogram kernels (crashes the "
+        "Mosaic compiler on real TPU as of libtpu 0.0.34 — see PERF.md)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -115,13 +120,14 @@ def main() -> None:
     # --- head-to-head: fused VMEM Pallas histogram kernels (ops/pallas_desc)
     # vs the XLA one-hot paths timed above ("alt" rows are excluded from the
     # stage total; whichever wins becomes the default). ---
-    cfg_pl = dataclasses.replace(
-        cfg, use_pallas_desc=True, use_pallas_orient=True
-    )
-    add("alt orientation (Pallas hist)",
-        lambda: S._jit_orient_batch(mr, kp0, cfg_pl))
-    add("alt descriptors (Pallas hist)",
-        lambda: S._jit_desc_all_batch(mr, allkp, cfg_pl))
+    if args.pallas_hist:
+        cfg_pl = dataclasses.replace(
+            cfg, use_pallas_desc=True, use_pallas_orient=True
+        )
+        add("alt orientation (Pallas hist)",
+            lambda: S._jit_orient_batch(mr, kp0, cfg_pl))
+        add("alt descriptors (Pallas hist)",
+            lambda: S._jit_desc_all_batch(mr, allkp, cfg_pl))
     cfg_py = dataclasses.replace(cfg, use_pallas_pyramid=True)
     add("alt pyramids (fused octave kernel)",
         lambda: S._jit_pyramids_batch(imgs, cfg_py, octaves))

@@ -69,11 +69,13 @@ def _fix_borders(x, base, height):
     replica is NOT the replica of the blurred border row).
     """
     ext = x.shape[0]
-    gidx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) + base
-    top = jax.lax.dynamic_slice_in_dim(x, jnp.clip(-base, 0, ext - 1), 1, 0)
-    bot = jax.lax.dynamic_slice_in_dim(
-        x, jnp.clip(height - 1 - base, 0, ext - 1), 1, 0
-    )
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, ext), 1) + base  # (1, ext)
+    gidx = rows.reshape(ext, 1)
+    # Mosaic has no dynamic_slice: extract the border rows as one-hot
+    # row-vector contractions instead.  When the border row is outside this
+    # block the mask is all-zero and the (zero) replica is never selected.
+    top = ((rows == 0).astype(x.dtype) @ x)  # (1, w)
+    bot = ((rows == height - 1).astype(x.dtype) @ x)
     x = jnp.where(gidx < 0, top, x)
     return jnp.where(gidx > height - 1, bot, x)
 
@@ -101,9 +103,10 @@ def _v_pass(x, taps, sum_w):
 
 
 def _octave_kernel(in_ref, *out_refs, taps_list, sum_ws, strip, halo, height):
-    x = in_ref[:]  # (ext, W): strip rows + halo on each side
+    # (ext, W): strip rows + halo each side, read from the edge-padded seed
+    # (already clamped-replica rows outside the image, so no initial fix).
+    x = in_ref[:]
     base = pl.program_id(1) * strip - halo
-    x = _fix_borders(x, base, height)
     n_layers = len(taps_list)
     prev = x
     prev_strip = x[halo:halo + strip, :]
@@ -142,10 +145,20 @@ def fused_octave_blur(
     halo = _chain_halo(half_kernels)
     strip = pick_strip(w, halo, 2 * n, jnp.dtype(img.dtype).itemsize)
     assert strip is not None, (img.shape, "use fused_octave_fits first")
-    strip = min(strip, max(32, h))
+    # Clamp the strip to the octave height, rounded up to the sublane tile
+    # (8) so the Element window offset s*strip stays provably tile-aligned.
+    strip = min(strip, max(32, -(-h // 8) * 8))
     nstrips = -(-h // strip)
     ext = strip + 2 * halo
-    pad_hi = halo + (nstrips * strip - h)
+    # Mosaic requires the sublane (second-to-last) block dim divisible by 8:
+    # round the haloed strip up; the extra rows are in-bounds neighbors (mid
+    # strips) or clamped replicas (last strip) and never reach an output
+    # block.  The axon AOT compiler rejects Element low/high padding, so the
+    # seed is edge-padded in HBM instead — every window read is in-bounds,
+    # and the replica rows ARE the reference's clamp-at-border seed values.
+    ext = -(-ext // 8) * 8
+    pad_bot = (nstrips - 1) * strip + ext - halo - h
+    img_pad = jnp.pad(img, ((0, 0), (halo, pad_bot), (0, 0)), mode="edge")
 
     kernel = partial(
         _octave_kernel, taps_list=taps_list, sum_ws=sum_ws, strip=strip,
@@ -159,15 +172,18 @@ def fused_octave_blur(
         out_shape=[jax.ShapeDtypeStruct((b, h, w), img.dtype)] * (2 * n),
         in_specs=[
             pl.BlockSpec(
-                (pl.Squeezed(), pl.Element(ext, (halo, pad_hi)),
-                 pl.Element(w, (0, 0))),
+                (pl.Squeezed(), pl.Element(ext, (0, 0)), pl.Element(w, (0, 0))),
                 lambda bi, s: (bi, s * strip, 0),
                 memory_space=pltpu.VMEM,
             )
         ],
         out_specs=[out_spec] * (2 * n),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
-    )(img)
+    )(img_pad)
     if squeeze:
         outs = [o[0] for o in outs]
     return list(outs[:n]), list(outs[n:])
