@@ -101,13 +101,18 @@ def main() -> None:
 
     # Capacity honesty check: no stage may have clipped real detections.
     _, counts = detect_and_describe_batch(imgs, cfg, return_counts=True)
-    from sift_tpu.models.detect import refine_active_cap_default
+    from sift_tpu.models.detect import refine_cascade_caps
 
-    cap2 = cfg.refine_active_cap or refine_active_cap_default(cfg.extrema_cap)
     for name, cap in (("extrema", cfg.extrema_cap), ("refined", cfg.kp_cap),
-                      ("oriented", cfg.ori_cap), ("refine_active", cap2)):
+                      ("oriented", cfg.ori_cap)):
         mx = int(np.asarray(counts[name]).max())
         assert mx <= cap, f"{name} overflow: {mx} > cap {cap}"
+    ract = np.asarray(counts["refine_active"])  # (B, phases)
+    for p, (cap_p, _steps) in enumerate(
+        refine_cascade_caps(cfg, cfg.extrema_cap)
+    ):
+        mx = int(ract[..., p].max())
+        assert mx <= cap_p, f"refine_active[{p}] overflow: {mx} > cap {cap_p}"
 
     # Amortized timing: enqueue K sweeps, fence once on the last result.
     # Repeat R times; report median and best (min) run.

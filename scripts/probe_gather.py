@@ -1,4 +1,4 @@
-"""Prototype faster extrema-compaction and cube-gather formulations."""
+"""Bisect gather_cubes_multi: row-gather vs one-hot extraction cost."""
 from __future__ import annotations
 
 import os
@@ -19,10 +19,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 def fence(out):
     leaf = jax.tree.leaves(out)[0]
-    return np.asarray(leaf[(0,) * leaf.ndim]) if leaf.ndim else np.asarray(leaf)
+    return np.asarray(leaf[(0,) * leaf.ndim])
 
 
-def timeit(name, fn, reps=5, k=4):
+def timeit(name, fn, reps=6, k=8):
     fence(fn())
     ts = []
     for _ in range(reps):
@@ -31,136 +31,59 @@ def timeit(name, fn, reps=5, k=4):
             out = fn()
         fence(out)
         ts.append((time.perf_counter() - t0) / k)
-    print(f"{name:46s} {statistics.median(ts)*1e3:9.2f} ms")
+    print(f"{name:52s} {statistics.median(ts)*1e3:9.3f} ms")
+    return fn()
 
 
 rng = np.random.default_rng(0)
-B, D, H, W = 8, 5, 960, 1280
-dog = jnp.asarray(rng.normal(0, 20, (B, D, H, W)).astype(np.float32))
-cap = 8192
+N = 6144 * 8  # lanes across the batch
+R = 600_000  # total rows in the gather space
+rows = jnp.asarray(rng.uniform(size=(R, 128)).astype(np.float32))
+ridx9 = jnp.asarray(rng.integers(0, R - 1, size=(N, 9)).astype(np.int32))
+ox = jnp.asarray(rng.integers(0, 125, size=(N,)).astype(np.int32))
 
-# --- A. extrema: reduce_window alone vs + nonzero vs sort-compaction ---
-def ext_pools(d):
-    wmax = jax.lax.reduce_window(d, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "VALID")
-    wmin = jax.lax.reduce_window(d, jnp.inf, jax.lax.min, (3, 3, 3), (1, 1, 1), "VALID")
-    c = d[1:-1, 1:-1, 1:-1]
-    return (jnp.abs(c) > 1.0) & ((c >= wmax) | (c <= wmin))
+g9 = jax.jit(lambda r, i: r[i.reshape(-1)].reshape(N, 9, 128))
+got = timeit("row gather 9 rows/lane (442k x 128)", lambda: g9(rows, ridx9))
 
-f_pool = jax.jit(jax.vmap(ext_pools))
-timeit("A1 reduce_window pools only", lambda: f_pool(dog))
-mask = f_pool(dog)
+from sift_tpu.ops.gather import extract_cols
 
+ex = jax.jit(lambda g, o: extract_cols(g, o, 3))
+timeit("extract_cols einsum (N,9,128)->(N,9,3)", lambda: ex(got, ox))
 
-def compact_nonzero(m):
-    flat = m.reshape(-1)
-    n = flat.shape[0]
-    idx = jnp.nonzero(flat, size=cap, fill_value=n)[0]
-    return idx
+full = jax.jit(lambda r, i, o: extract_cols(r[i.reshape(-1)].reshape(N, 9, 128), o, 3))
+timeit("gather+extract fused", lambda: full(rows, ridx9, ox))
 
-f_nz = jax.jit(jax.vmap(compact_nonzero))
-timeit("A2 nonzero(size=8192) on mask", lambda: f_nz(mask))
+# narrower gather rows: 3 wide-rows (z planes) of 3*128 lanes
+rows384 = jnp.asarray(rng.uniform(size=(R // 3, 384)).astype(np.float32))
+ridx3 = jnp.asarray(rng.integers(0, R // 3 - 1, size=(N, 3)).astype(np.int32))
+g3 = jax.jit(lambda r, i: r[i.reshape(-1)].reshape(N, 3, 384))
+timeit("row gather 3 rows/lane (147k x 384)", lambda: g3(rows384, ridx3))
 
+# take-based gather instead of advanced indexing
+gt = jax.jit(lambda r, i: jnp.take(r, i.reshape(-1), axis=0).reshape(N, 9, 128))
+timeit("jnp.take 9 rows/lane", lambda: gt(rows, ridx9))
 
-def compact_sort(m):
-    flat = m.reshape(-1)
-    n = flat.shape[0]
-    key = jnp.where(flat, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
-    # ascending sort: extrema indices first, invalid = n
-    return jax.lax.sort(key)[:cap]
-
-f_srt = jax.jit(jax.vmap(compact_sort))
-timeit("A3 sort-compaction on mask", lambda: f_srt(mask))
-
-
-def compact_topk(m):
-    flat = m.reshape(-1)
-    n = flat.shape[0]
-    key = jnp.where(flat, -jnp.arange(n, dtype=jnp.int32), -jnp.int32(n + 1))
-    vals, _ = jax.lax.top_k(key, cap)
-    return -vals
-
-f_tk = jax.jit(jax.vmap(compact_topk))
-timeit("A4 top_k-compaction on mask", lambda: f_tk(mask))
-
-
-def compact_blocked(m):
-    """Two-level: per-block cumsum (vectorized) then block-offset scatter."""
-    flat = m.reshape(-1)
-    n = flat.shape[0]
-    BS = 4096
-    nb = -(-n // BS)
-    pad = nb * BS - n
-    flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
-    blocks = flat.reshape(nb, BS)
-    within = jnp.cumsum(blocks, axis=1) - blocks  # exclusive, per block
-    counts = jnp.sum(blocks, axis=1)
-    offs = jnp.cumsum(counts) - counts
-    dest = (offs[:, None] + within).astype(jnp.int32)
-    src = jnp.arange(nb * BS, dtype=jnp.int32).reshape(nb, BS)
-    out = jnp.full((cap,), n, jnp.int32)
-    dest = jnp.where(blocks, dest, cap + 7)  # drop non-extrema
-    return out.at[dest.reshape(-1)].set(src.reshape(-1), mode="drop")
-
-f_blk = jax.jit(jax.vmap(compact_blocked))
-timeit("A5 blocked cumsum+scatter", lambda: f_blk(mask))
-
-# --- B. cube gather: vmapped dynamic_slice vs 27 flat takes ---
-zyx = jnp.stack(
-    [
-        jnp.asarray(rng.integers(1, D - 1, (B, cap)), jnp.int32),
-        jnp.asarray(rng.integers(1, H - 1, (B, cap)), jnp.int32),
-        jnp.asarray(rng.integers(1, W - 1, (B, cap)), jnp.int32),
-    ],
-    axis=-1,
+# extraction via 2 shifted dots? measure einsum with bf16-safe default prec
+ex_dflt = jax.jit(
+    lambda g, o: jnp.einsum(
+        "nrl,nlc->nrc",
+        g,
+        (jnp.arange(128, dtype=jnp.int32)[None, :, None]
+         == (o[:, None, None] + jnp.arange(3)[None, None, :])).astype(jnp.float32),
+    )
 )
+timeit("extract einsum DEFAULT precision", lambda: ex_dflt(got, ox))
 
-
-def cubes_ds(d, p):
-    def one(q):
-        return jax.lax.dynamic_slice(d, (q[0] - 1, q[1] - 1, q[2] - 1), (3, 3, 3))
-    return jax.vmap(one)(p)
-
-f_ds = jax.jit(jax.vmap(cubes_ds))
-timeit("B1 vmapped dynamic_slice cube (1 step)", lambda: f_ds(dog, zyx))
-
-
-def cubes_take(d, p):
-    flat = d.reshape(-1)
-    z, y, x = p[:, 0], p[:, 1], p[:, 2]
-    base = (z * H + y) * W + x
+# extraction via weighted sum trick: one-hot as (N, 1, 128) select + rolls
+def ex_roll(g, o):
+    # cube columns ox, ox+1, ox+2: select each by mask + sum over lanes
+    lanes = jnp.arange(128, dtype=jnp.int32)[None, None, :]
     outs = []
-    for dz in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                outs.append(jnp.take(flat, base + ((dz * H + dy) * W + dx)))
-    return jnp.stack(outs, axis=-1).reshape(-1, 3, 3, 3)
-
-f_tt = jax.jit(jax.vmap(cubes_take))
-timeit("B2 27 flat takes cube (1 step)", lambda: f_tt(dog, zyx))
+    for c in range(3):
+        m = (lanes == (o[:, None, None] + c)).astype(g.dtype)
+        outs.append(jnp.sum(g * m, axis=-1))
+    return jnp.stack(outs, axis=-1)
 
 
-def cubes_onetake(d, p):
-    flat = d.reshape(-1)
-    z, y, x = p[:, 0], p[:, 1], p[:, 2]
-    base = (z * H + y) * W + x
-    off = jnp.asarray(
-        [(dz * H + dy) * W + dx for dz in (-1, 0, 1) for dy in (-1, 0, 1)
-         for dx in (-1, 0, 1)], jnp.int32)
-    idx = base[:, None] + off[None, :]
-    return jnp.take(flat, idx).reshape(-1, 3, 3, 3)
-
-f_ot = jax.jit(jax.vmap(cubes_onetake))
-timeit("B3 one 27-wide take cube (1 step)", lambda: f_ot(dog, zyx))
-
-# agreement
-a = np.asarray(f_ds(dog, zyx))
-b = np.asarray(f_tt(dog, zyx))
-c = np.asarray(f_ot(dog, zyx))
-print("cube agreement:", (a == b).all(), (a == c).all())
-i1 = np.asarray(f_nz(mask))
-i3 = np.asarray(f_srt(mask))
-i4 = np.asarray(f_tk(mask))
-i5 = np.asarray(f_blk(mask))
-n = D_ = (D - 2) * (H - 2) * (W - 2)
-print("compaction agreement:", (i1 == i3).all(), (i1 == i4).all(),
-      (np.where(i1 < n, i1, -1) == np.where(i5 < n, i5, -1)).all())
+exr = jax.jit(ex_roll)
+timeit("extract via mask+sum (VPU)", lambda: exr(got, ox))

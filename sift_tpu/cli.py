@@ -97,15 +97,18 @@ def _warn_capacity_overflow(counts, cfg) -> None:
 
     import numpy as np
 
-    from sift_tpu.models.detect import refine_active_cap_default
+    from sift_tpu.models.detect import refine_cascade_caps
 
-    caps = dict(
-        extrema=cfg.extrema_cap, refined=cfg.kp_cap, oriented=cfg.ori_cap,
-        refine_active=cfg.refine_active_cap
-        or refine_active_cap_default(cfg.extrema_cap),
-    )
-    for name, cap in caps.items():
-        mx = int(np.asarray(counts[name]).max())
+    checks = [
+        ("extrema", cfg.extrema_cap, np.asarray(counts["extrema"])),
+        ("refined", cfg.kp_cap, np.asarray(counts["refined"])),
+        ("oriented", cfg.ori_cap, np.asarray(counts["oriented"])),
+    ]
+    ract = np.asarray(counts["refine_active"])  # (..., phases)
+    for p, (cap_p, _steps) in enumerate(refine_cascade_caps(cfg, cfg.extrema_cap)):
+        checks.append((f"refine_active[{p}]", cap_p, ract[..., p]))
+    for name, cap, c in checks:
+        mx = int(c.max())
         if mx > cap:
             print(
                 f"warning: {name} count {mx} exceeds capacity {cap}; "

@@ -56,8 +56,11 @@ class SiftConfig:
     kp_cap: int = 4096
     # Total oriented-keypoint capacity across all octaves (both paths).
     ori_cap: int = 8192
-    # Phase-2 Newton capacity (lanes still moving after step 1; measured
-    # ~30% of extrema on real images).  None = max(128, extrema_cap // 2).
+    # Legacy single phase-2 Newton capacity.  None (default) = the measured
+    # cascade schedule of detect.refine_cascade_caps: steps {2} on
+    # extrema_cap//4 lanes, steps {3,4,5} on extrema_cap//8 (lanes still
+    # moving shrink fast: ~24%/~12% of valid extrema on real images).
+    # Setting an int pins the old two-phase schedule (4 steps at that cap).
     refine_active_cap: int | None = None
 
     # Compute dtype for the image pipeline.  float32 on TPU ("fast" profile);

@@ -159,6 +159,22 @@ def refine_active_cap_default(n: int) -> int:
     return max(128, n // 2)
 
 
+def refine_cascade_caps(cfg: SiftConfig, n: int) -> tuple[tuple[int, int], ...]:
+    """The Newton phase schedule: ((cap, steps), ...) after the full step 1.
+
+    Measured on the CAVE-01 pair at cap 6144 (scripts/ probes): ~24% of
+    valid extrema are still moving after step 1, ~12% after step 2, and the
+    remainder (~8%, mostly oscillating lanes that never converge) walk all 5
+    steps — so the cascade compacts twice: steps {2} at n//4 lanes and steps
+    {3,4,5} at n//8, cutting gathered lanes ~2x vs the old single n//2
+    phase.  A legacy ``cfg.refine_active_cap`` pins the old two-phase
+    schedule.  Shared with bench.py/cli.py overflow assertions.
+    """
+    if cfg.refine_active_cap:
+        return ((cfg.refine_active_cap, 4),)
+    return ((max(128, n // 4), 1), (max(128, n // 8), 3))
+
+
 def _newton_init(zyx, valid, dtype):
     n = zyx.shape[0]
     zero = jnp.zeros((n,), dtype)
@@ -373,12 +389,14 @@ def refine_keypoints_all(
     Identical math to refine_octave_keypoints lane-for-lane; per-octave
     constants (dims, 2^octave) become per-lane table lookups.
 
-    Two-phase schedule: step 1 runs on every lane, then lanes still moving
-    (measured ~30% on real images) are compacted into a half-capacity buffer
-    for steps 2-5 — exact because a step is a per-lane no-op once the lane
-    converged or left bounds.  Returns (keypoints, off0, n_active) where
-    ``n_active`` is the true still-moving count after step 1 for overflow
-    detection against the phase-2 capacity.
+    Cascade schedule (refine_cascade_caps): step 1 runs on every lane, then
+    before each phase the still-moving lanes (a fast-shrinking minority on
+    real images) are compacted into a smaller buffer — exact because a step
+    is a per-lane no-op once the lane converged or left bounds, and a lane
+    entering a phase carries only (pos, active): its g/h/off/center are
+    written at convergence time only.  Returns (keypoints, off0, n_active)
+    where ``n_active`` is the (P,)-vector of true still-moving counts
+    entering each phase, for overflow detection against the phase caps.
     """
     depth = dogs[0].shape[0]
     border = cfg.window_size // 2
@@ -387,59 +405,66 @@ def refine_keypoints_all(
     mr = build_multi_rows(dogs, blk=_REFINE_BLK)
     h_tbl = [d.shape[1] for d in dogs]
     w_tbl = [d.shape[2] for d in dogs]
-    h_lane = lut(h_tbl, oct_id, jnp.int32)
-    w_lane = lut(w_tbl, oct_id, jnp.int32)
 
     def cube(oid):
         return lambda pos: xdiv(gather_cubes_multi(mr, oid, pos), 255.0)
 
-    state = _newton_refine(
-        cube(oct_id), zyx, valid, h_lane, w_lane, depth, border, dtype,
-        steps=1,
-    )
-    n_active = jnp.sum(state["active"], dtype=jnp.int32)
-    cap2 = cfg.refine_active_cap or refine_active_cap_default(n)
-    if cap2 >= n:
-        state = _newton_refine(
-            cube(oct_id), None, None, h_lane, w_lane, depth, border, dtype,
-            steps=4, state=state,
+    def fields(st):
+        return jnp.stack(
+            [*st["g"], *st["h"], *st["off"], st["center"],
+             st["converged"].astype(dtype)],
+            axis=1,
         )
-    else:
-        # Compact still-active lanes; run steps 2-5 on the small buffer.
-        idx, sel = compact_mask(state["active"], cap2)
-        packed = jnp.concatenate([state["pos"], oct_id[:, None]], axis=1)
+
+    state = _newton_refine(
+        cube(oct_id), zyx, valid,
+        lut(h_tbl, oct_id, jnp.int32), lut(w_tbl, oct_id, jnp.int32),
+        depth, border, dtype, steps=1,
+    )
+
+    cur_state, cur_oct = state, oct_id
+    n_active = []
+    levels = []  # (idx, sel, parent_state, parent_lanes)
+    for cap_i, nsteps in refine_cascade_caps(cfg, n):
+        n_active.append(jnp.sum(cur_state["active"], dtype=jnp.int32))
+        cur_n = cur_state["pos"].shape[0]
+        if cap_i >= cur_n:
+            cur_state = _newton_refine(
+                cube(cur_oct), None, None,
+                lut(h_tbl, cur_oct, jnp.int32), lut(w_tbl, cur_oct, jnp.int32),
+                depth, border, dtype, steps=nsteps, state=cur_state,
+            )
+            continue
+        idx, sel = compact_mask(cur_state["active"], cap_i)
+        packed = jnp.concatenate([cur_state["pos"], cur_oct[:, None]], axis=1)
         sub = jnp.take(packed, idx, axis=0)
         sub_pos, sub_oct = sub[:, :3], sub[:, 3]
-        sub_h = lut(h_tbl, sub_oct, jnp.int32)
-        sub_w = lut(w_tbl, sub_oct, jnp.int32)
-        sub_state = _newton_refine(
-            cube(sub_oct), sub_pos, sel, sub_h, sub_w, depth, border, dtype,
-            steps=4,
+        levels.append((idx, sel, cur_state, cur_n))
+        cur_state = _newton_refine(
+            cube(sub_oct), sub_pos, sel,
+            lut(h_tbl, sub_oct, jnp.int32), lut(w_tbl, sub_oct, jnp.int32),
+            depth, border, dtype, steps=nsteps,
         )
-        # Scatter phase-2 lanes back by original index (packed row writes).
-        widx = jnp.where(sel, idx, n)
+        cur_oct = sub_oct
 
-        def fields(st):
-            return jnp.stack(
-                [*st["g"], *st["h"], *st["off"], st["center"],
-                 st["converged"].astype(dtype)],
-                axis=1,
-            )
-
-        pos = state["pos"].at[widx].set(sub_state["pos"], mode="drop")
-        merged = fields(state).at[widx].set(fields(sub_state), mode="drop")
-        state = dict(
+    # Unwind: scatter each phase's lanes back into its parent buffer.
+    for idx, sel, parent, parent_n in reversed(levels):
+        widx = jnp.where(sel, idx, parent_n)
+        pos = parent["pos"].at[widx].set(cur_state["pos"], mode="drop")
+        merged = fields(parent).at[widx].set(fields(cur_state), mode="drop")
+        cur_state = dict(
             pos=pos,
-            active=state["active"],
+            active=parent["active"],
             converged=merged[:, 13] > 0.5,
             g=(merged[:, 0], merged[:, 1], merged[:, 2]),
             h=tuple(merged[:, 3 + i] for i in range(6)),
             off=(merged[:, 9], merged[:, 10], merged[:, 11]),
             center=merged[:, 12],
         )
+    state = cur_state
 
     octave_scale = lut(
         [float(math.pow(2, o)) for o in range(len(dogs))], oct_id, dtype
     )
     kp, off0 = _accept_and_emit(state, octave_scale, oct_id, cfg, dtype, n)
-    return kp, off0, n_active
+    return kp, off0, jnp.stack(n_active)
