@@ -383,6 +383,7 @@ def refine_keypoints_all(
     zyx: jnp.ndarray,
     valid: jnp.ndarray,
     cfg: SiftConfig,
+    mr=None,
 ) -> tuple[Keypoints, jnp.ndarray, jnp.ndarray]:
     """Newton refinement for a mixed-octave extrema buffer (fused path).
 
@@ -402,7 +403,8 @@ def refine_keypoints_all(
     border = cfg.window_size // 2
     dtype = dogs[0].dtype
     n = zyx.shape[0]
-    mr = build_multi_rows(dogs, blk=_REFINE_BLK)
+    if mr is None:
+        mr = build_multi_rows(dogs, blk=_REFINE_BLK)
     h_tbl = [d.shape[1] for d in dogs]
     w_tbl = [d.shape[2] for d in dogs]
 

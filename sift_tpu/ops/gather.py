@@ -45,7 +45,7 @@ def compact_mask(
     """
     n = flat.shape[0]
     if row_width is None:
-        row_width = 1024 if n >= (1 << 20) else 256
+        row_width = 256  # fastest measured on v5e from 64k to 40M lanes
     rw = min(row_width, max(128, n))
     nr = -(-n // rw)
     pad = nr * rw - n
@@ -57,14 +57,40 @@ def compact_mask(
     cnt = jnp.sum(m2d, axis=1, dtype=jnp.int32)
     csum = jnp.cumsum(cnt)  # inclusive
     k = jnp.arange(cap, dtype=jnp.int32)
-    # Row containing the (k+1)-th set bit: first row with csum > k.
-    row = jnp.searchsorted(csum, k, side="right").astype(jnp.int32)
+    # Row containing the (k+1)-th set bit (= searchsorted(csum, k, "right"))
+    # and the bit count before it (csum[row-1]).  XLA lowers searchsorted /
+    # int-indexed csum lookups to the scalar-gather slow path (~6 ms for 49k
+    # lanes on v5e), so both are computed with a two-level compare-reduce:
+    # a (cap, nsuper) reduction picks each lane's 128-row super block, one
+    # 128-wide row gather (fast path) fetches the block's csums, and a
+    # (cap, 128) reduction finishes the search.  Padding supers with INT_MAX
+    # keeps them strictly greater than any k.
+    ns = -(-nr // 128)
+    big = jnp.iinfo(jnp.int32).max
+    csum2 = jnp.full((ns * 128,), big, jnp.int32).at[:nr].set(csum)
+    csum2 = csum2.reshape(ns, 128)
+    sup_last = csum2[:, -1]
+    le_s = sup_last[None, :] <= k[:, None]  # (cap, ns)
+    sup = jnp.sum(le_s, axis=1).astype(jnp.int32)
+    supc = jnp.minimum(sup, ns - 1)
+    win = csum2[supc]  # (cap, 128) row gather — the fast path
+    le_w = win <= k[:, None]
+    row = sup * 128 + jnp.sum(le_w, axis=1).astype(jnp.int32)
+    base = jnp.maximum(
+        jnp.max(jnp.where(le_w, win, 0), axis=1),
+        jnp.max(jnp.where(le_s, sup_last[None, :], 0), axis=1),
+    )
     rowc = jnp.minimum(row, nr - 1)
-    base = jnp.where(row > 0, csum[jnp.maximum(row - 1, 0)], 0)
     rank = k - base  # 0-based rank within the row
     rows = m2d[rowc]  # (cap, rw) row gather — the fast path
-    pref = jnp.cumsum(rows.astype(jnp.int32), axis=1)
-    hit = rows & (pref == (rank[:, None] + 1))
+    # In-row prefix counts as a triangular matmul: operands are exactly 0/1
+    # (bf16-exact) and the MXU accumulates in f32, so counts <= rw are exact.
+    tri = (
+        jnp.arange(rw, dtype=jnp.int32)[:, None]
+        <= jnp.arange(rw, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)
+    pref = rows.astype(jnp.float32) @ tri
+    hit = rows & (pref == (rank[:, None] + 1).astype(jnp.float32))
     inrow = jnp.argmax(hit, axis=1).astype(jnp.int32)
     idx = rowc * rw + inrow
     valid = k < csum[-1]
@@ -96,10 +122,23 @@ class BlockRows:
     nb: int = dataclasses.field(metadata=dict(static=True))
 
 
-def build_block_rows(vol: jnp.ndarray, blk: int = 128) -> BlockRows:
-    """Relayout a (S, H, W) stack into overlapping twin-block rows."""
+def build_block_rows(
+    vol: jnp.ndarray, blk: int = 128, use_pallas: bool = False
+) -> BlockRows:
+    """Relayout a (S, H, W) stack into overlapping twin-block rows.
+
+    ``use_pallas``: stream the relayout through the VMEM kernel
+    (ops/pallas_relayout.py, ~4x faster on v5e; bit-exact data movement).
+    Do NOT enable under vmap — batch callers fold the batch into the row
+    axis instead (see sift._jit_gauss_rows_batch).
+    """
     s, h, w = vol.shape
     nb = -(-w // blk)
+    if use_pallas and vol.dtype == jnp.float32:
+        from sift_tpu.ops.pallas_relayout import twin_rows_2d
+
+        rows = twin_rows_2d(vol.reshape(s * h, w), blk)
+        return BlockRows(rows=rows, shape=(s, h, w), blk=blk, nb=nb)
     p = jnp.pad(vol, ((0, 0), (0, 0), (0, (nb + 1) * blk - w)))
     a = p.reshape(s, h, nb + 1, blk)
     twin = jnp.concatenate([a[:, :, :-1, :], a[:, :, 1:, :]], axis=-1)
@@ -162,8 +201,10 @@ class MultiRows:
     bases: tuple = dataclasses.field(metadata=dict(static=True))
 
 
-def build_multi_rows(vols: list[jnp.ndarray], blk: int = 128) -> MultiRows:
-    brs = [build_block_rows(v, blk) for v in vols]
+def build_multi_rows(
+    vols: list[jnp.ndarray], blk: int = 128, use_pallas: bool = False
+) -> MultiRows:
+    brs = [build_block_rows(v, blk, use_pallas) for v in vols]
     bases = []
     acc = 0
     for br in brs:

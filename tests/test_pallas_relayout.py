@@ -1,0 +1,44 @@
+"""Pallas twin-block relayout == XLA BlockRows construction (bit-exact).
+
+The kernel is pure data movement; these interpret-mode tests pin the row
+ordering contract (row r block b -> output row r * nb + b, zero-padded past
+W) against the XLA construction in ops/gather.py for awkward widths, and
+the batched folding used by the production path (sift._batch_multi_rows).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sift_tpu.ops.gather import build_block_rows, build_multi_rows
+from sift_tpu.ops.pallas_relayout import twin_rows_2d
+
+
+@pytest.mark.parametrize(
+    "s,h,w,blk",
+    [(5, 60, 80, 64), (6, 33, 127, 128), (2, 9, 129, 128), (3, 8, 1280, 64)],
+)
+def test_twin_rows_matches_xla(s, h, w, blk):
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.uniform(size=(s, h, w)).astype(np.float32))
+    ref = build_block_rows(vol, blk)
+    got = twin_rows_2d(vol.reshape(s * h, w), blk, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref.rows))
+
+
+def test_batched_multi_rows_matches_vmap():
+    import jax
+
+    from sift_tpu.models.sift import _batch_multi_rows
+
+    rng = np.random.default_rng(1)
+    vols_b = [
+        jnp.asarray(rng.uniform(size=(3, 5, 24, 40)).astype(np.float32)),
+        jnp.asarray(rng.uniform(size=(3, 5, 12, 20)).astype(np.float32)),
+    ]
+    ref = jax.vmap(lambda a, b: build_multi_rows([a, b], blk=16))(*vols_b)
+    got = _batch_multi_rows(vols_b, blk=16)
+    np.testing.assert_array_equal(np.asarray(got.rows), np.asarray(ref.rows))
+    assert got.shapes == ref.shapes
+    assert got.nbs == ref.nbs
+    assert got.bases == ref.bases
