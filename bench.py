@@ -75,7 +75,7 @@ def main() -> None:
 
     # Batched mode: B frames per sweep (B/2 pairs), matcher vmapped over
     # pairs.  Every frame runs the full detect+describe+match pipeline.
-    B = int(os.environ.get("BENCH_BATCH", "8"))
+    B = int(os.environ.get("BENCH_BATCH", "16"))
     imgs = jnp.asarray(
         np.stack([img1, img2] * (B // 2)).astype(np.float32)
     )

@@ -73,7 +73,16 @@ def build_pyramids(
     """
     kernels = cfg.gaussian_kernels()
     half_kernels = [gaussian_half_kernel(s) for s in kernels]
-    fused = bool(cfg.use_pallas_pyramid)  # None/auto resolves to False
+    fused = cfg.use_pallas_pyramid
+    if fused is None:
+        # Auto: the fused octave kernel wins ~25% of the pyramid stage on
+        # v5e (PERF.md) and its per-shape compile amortizes via the
+        # persistent cache.  Vmapped traces must opt out explicitly
+        # (detect_fn / parallel.spatial do) — jax's pallas batching rule
+        # would lift the batch dim into the block shape.
+        fused = jax.default_backend() == "tpu" and (
+            jnp.dtype(cfg.dtype) == jnp.float32
+        )
 
     gaussians: list[jnp.ndarray] = []
     dogs: list[jnp.ndarray] = []
