@@ -155,7 +155,11 @@ def _jit_detect_refine_batch(dogs, cfg: SiftConfig):
 @jax.jit
 def _jit_gauss_rows_batch(gaussians):
     if _use_pallas_relayout(gaussians):
-        return _batch_multi_rows(gaussians, 128)
+        # blk=64: the production orientation/descriptor window classes fit
+        # one 128-lane twin row (gather_patches_multi fetches a second block
+        # only for the rare wide descriptor chunks) — half the gather bytes
+        # of blk=128 rows.
+        return _batch_multi_rows(gaussians, 64)
     return jax.vmap(lambda gs: build_multi_rows(gs))(gaussians)
 
 

@@ -281,7 +281,14 @@ def gather_patches_multi(
     outside [0, H_o) are CLAMPED — callers must mask those samples (both
     orientation and descriptor windows already mask samples whose 1-pixel
     gradient neighborhood leaves the image, which subsumes this).
-    Requires patch <= blk + 1.
+
+    patch <= blk + 1 fetches one twin row per sample row; wider windows
+    (patch <= 3 * blk + 1) fetch the twin rows of blocks b and b+2 —
+    contiguous coverage [b*blk, (b+4)*blk) — in a single doubled gather.
+    The production batch path uses blk=64 so its common window classes
+    (orientation <= 37, descriptor <= 53 columns) move half the bytes of
+    the old blk=128 rows, and only the rare wide descriptor chunks pay for
+    256-lane coverage.
     """
     h = lut([s[1] for s in mr.shapes], oct_id, jnp.int32)
     nb = lut(mr.nbs, oct_id, jnp.int32)
@@ -291,7 +298,21 @@ def gather_patches_multi(
     aa = jnp.arange(patch)
     ys = jnp.clip(ys0[:, None] + aa[None, :], 0, h[:, None] - 1)
     ridx = base[:, None] + (layer[:, None] * h[:, None] + ys) * nb[:, None] + b[:, None]
-    g = mr.rows[ridx.reshape(-1)].reshape(-1, patch, 2 * mr.blk)
+    if patch <= mr.blk + 1:
+        g = mr.rows[ridx.reshape(-1)].reshape(-1, patch, 2 * mr.blk)
+        return extract_cols(g, ox, patch)
+    assert patch <= 3 * mr.blk + 1, (patch, mr.blk)
+    # Second twin block b+2: columns [b*blk + 2*blk, b*blk + 4*blk).  Where
+    # it runs past the last block those columns are >= (nb+1)*blk >= W and
+    # must read 0 — gather a clamped row and zero it.
+    ok2 = b + 2 <= nb - 1  # (N,)
+    ridx2 = ridx + 2 * ok2[:, None].astype(jnp.int32)  # clamped: stay on b
+    pair = jnp.stack([ridx, ridx2], axis=-1)  # (N, patch, 2)
+    g = mr.rows[pair.reshape(-1)].reshape(-1, patch, 2, 2 * mr.blk)
+    keep = ok2[:, None, None, None] | (
+        jnp.arange(2)[None, None, :, None] == 0
+    )  # (N, 1, 2, 1)
+    g = jnp.where(keep, g, 0).reshape(-1, patch, 4 * mr.blk)
     return extract_cols(g, ox, patch)
 
 

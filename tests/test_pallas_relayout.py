@@ -42,3 +42,28 @@ def test_batched_multi_rows_matches_vmap():
     assert got.shapes == ref.shapes
     assert got.nbs == ref.nbs
     assert got.bases == ref.bases
+
+
+def test_wide_patch_two_block_gather():
+    """gather_patches_multi with patch > blk+1 (the blk=64 production path's
+    wide descriptor chunks) must equal the single-block blk=128 gather."""
+    rng = np.random.default_rng(2)
+    vols = [
+        jnp.asarray(rng.uniform(size=(5, 40, 70)).astype(np.float32)),
+        jnp.asarray(rng.uniform(size=(5, 20, 35)).astype(np.float32)),
+    ]
+    from sift_tpu.ops.gather import gather_patches_multi
+
+    n = 64
+    oct_id = jnp.asarray(rng.integers(0, 2, size=(n,)).astype(np.int32))
+    layer = jnp.asarray(rng.integers(0, 5, size=(n,)).astype(np.int32))
+    ys0 = jnp.asarray(rng.integers(-12, 45, size=(n,)).astype(np.int32))
+    xs0 = jnp.asarray(rng.integers(-12, 75, size=(n,)).astype(np.int32))
+    patch = 33
+    ref = gather_patches_multi(
+        build_multi_rows(vols, blk=128), oct_id, layer, ys0, xs0, patch
+    )
+    got = gather_patches_multi(
+        build_multi_rows(vols, blk=16), oct_id, layer, ys0, xs0, patch
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
