@@ -84,11 +84,14 @@ def _desc_hist_kernel(
     nc, p, _ = x.shape
     dt = x.dtype
 
+    # Column extraction and reductions stay rank>=2 throughout: rank-1
+    # values crash the Mosaic layout inference on real TPU ("arr.size() >=
+    # layout_rank (1 vs 2)"); interpret mode never catches this.
     def fcol(i):
-        return flt_ref[:, i].reshape(nc, 1, 1)
+        return flt_ref[:, i : i + 1].reshape(nc, 1, 1)
 
     def icol(i):
-        return int_ref[:, i].reshape(nc, 1, 1)
+        return int_ref[:, i : i + 1].reshape(nc, 1, 1)
 
     ca, sa, pori, inv_hw, coef = (fcol(i) for i in range(5))
     xo, yo, rad, wl, hl, vmask = (icol(i) for i in range(6))
@@ -170,13 +173,14 @@ def _desc_hist_kernel(
         for oo in range(8)
     ]
 
+    cols = []
     for rr in range(4):
         for cc in range(4):
             prc = ar[rr] * vc[cc]
             for oo in range(8):
-                out_ref[:, (rr * 4 + cc) * 8 + oo] = jnp.sum(
-                    prc * wo[oo], axis=(1, 2)
-                )
+                s1 = jnp.sum(prc * wo[oo], axis=2)  # (nc, p)
+                cols.append(jnp.sum(s1, axis=1, keepdims=True))  # (nc, 1)
+    out_ref[:] = jnp.concatenate(cols, axis=1)
 
 
 def _ori_hist_kernel(
@@ -193,13 +197,14 @@ def _ori_hist_kernel(
     x = patch_ref[:]
     nc, p, _ = x.shape
     dt = x.dtype
-    inv_ed = flt_ref[:, 0].reshape(nc, 1, 1)
-    xo = int_ref[:, 0].reshape(nc, 1, 1)
-    yo = int_ref[:, 1].reshape(nc, 1, 1)
-    rad = int_ref[:, 2].reshape(nc, 1, 1)
-    wl = int_ref[:, 3].reshape(nc, 1, 1)
-    hl = int_ref[:, 4].reshape(nc, 1, 1)
-    vmask = int_ref[:, 5].reshape(nc, 1, 1)
+    # rank>=2 throughout (see _desc_hist_kernel).
+    inv_ed = flt_ref[:, 0:1].reshape(nc, 1, 1)
+    xo = int_ref[:, 0:1].reshape(nc, 1, 1)
+    yo = int_ref[:, 1:2].reshape(nc, 1, 1)
+    rad = int_ref[:, 2:3].reshape(nc, 1, 1)
+    wl = int_ref[:, 3:4].reshape(nc, 1, 1)
+    hl = int_ref[:, 4:5].reshape(nc, 1, 1)
+    vmask = int_ref[:, 5:6].reshape(nc, 1, 1)
 
     dx = pltpu.roll(x, p - 1, axis=2) - pltpu.roll(x, 1, axis=2)
     dy = pltpu.roll(x, 1, axis=1) - pltpu.roll(x, p - 1, axis=1)
@@ -228,10 +233,13 @@ def _ori_hist_kernel(
     contrib = jnp.where(
         mask, jnp.exp(-fi * inv_ed) * magnitude, jnp.zeros_like(x)
     )
+    cols = []
     for b in range(nb):
-        out_ref[:, b] = jnp.sum(
-            jnp.where(h_idx == b, contrib, jnp.zeros_like(x)), axis=(1, 2)
-        )
+        s1 = jnp.sum(
+            jnp.where(h_idx == b, contrib, jnp.zeros_like(x)), axis=2
+        )  # (nc, p)
+        cols.append(jnp.sum(s1, axis=1, keepdims=True))  # (nc, 1)
+    out_ref[:] = jnp.concatenate(cols, axis=1)
 
 
 def ori_hist_pallas(
@@ -280,10 +288,6 @@ def desc_hist_pallas(
     (N, 8) i32 packed as documented on the kernel.
     """
     n, p, _ = patches.shape
-    if p > 67:
-        # Worst-case-radius windows: halve the block so the ~30 live
-        # (block, p, 128-lane) f32 planes stay under the 16 MB VMEM.
-        block = max(1, block // 2)
     assert n % block == 0, (n, block)
     grid = (n // block,)
     kernel = partial(_desc_hist_kernel, r=r, bins_per_rad=bins_per_rad)
@@ -300,6 +304,13 @@ def desc_hist_pallas(
         ],
         out_specs=pl.BlockSpec(
             (block, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # Worst-case-radius windows keep ~30 live (block, p, 128-lane)
+            # f32 planes; raise the scoped VMEM budget instead of shrinking
+            # the block below the 8-sublane tile.
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(flt, ints, patches)
