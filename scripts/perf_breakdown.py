@@ -56,6 +56,11 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=30)
     ap.add_argument("--out", default=None)
     ap.add_argument(
+        "--bench-caps", action="store_true",
+        help="use bench.py's workload-tuned capacities (6144/1536/2048) "
+        "instead of the SiftConfig defaults, to profile the headline path",
+    )
+    ap.add_argument(
         "--pallas-hist", action="store_true",
         help="time the Pallas desc/orient histogram kernels (crashes the "
         "Mosaic compiler on real TPU as of libtpu 0.0.34 — see PERF.md)",
@@ -79,6 +84,8 @@ def main() -> None:
     img2 = load_image(f"{cave}/01.jpg")
 
     cfg = SiftConfig()
+    if args.bench_caps:
+        cfg = SiftConfig(extrema_cap=6144, kp_cap=1536, ori_cap=2048)
     B = args.batch
     imgs = jnp.asarray(np.stack([img1, img2] * (B // 2)).astype(np.float32))
     h, w = imgs.shape[1], imgs.shape[2]
@@ -95,14 +102,24 @@ def main() -> None:
         return fn()
 
     # --- stage-by-stage (mirrors the fused detect_and_describe_batch) ---
-    gaussians, dogs = add(
-        "pyramids (init+gauss+dog)",
-        lambda: S._jit_pyramids_batch(imgs, cfg, octaves),
-    )
-    kp0, _off0, counts = add(
-        "detect+refine (all octaves)",
-        lambda: S._jit_detect_refine_batch(dogs, cfg),
-    )
+    if S._use_front(cfg):
+        gaussians, dogs, masks, fcounts = add(
+            "front (pyramids+mask+counts)",
+            lambda: S._jit_front_batch(imgs, cfg, octaves),
+        )
+        kp0, _off0, counts = add(
+            "detect+refine (counts-assisted)",
+            lambda: S._jit_detect_refine_counts(dogs, masks, fcounts, cfg),
+        )
+    else:
+        gaussians, dogs = add(
+            "pyramids (init+gauss+dog)",
+            lambda: S._jit_pyramids_batch(imgs, cfg, octaves),
+        )
+        kp0, _off0, counts = add(
+            "detect+refine (all octaves)",
+            lambda: S._jit_detect_refine_batch(dogs, cfg),
+        )
     mr = add("gauss MultiRows relayout", lambda: S._jit_gauss_rows_batch(gaussians))
     cand, _n = add(
         "orientation (all octaves)", lambda: S._jit_orient_batch(mr, kp0, cfg)

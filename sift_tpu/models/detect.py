@@ -339,6 +339,127 @@ def refine_octave_keypoints(
     )
 
 
+# --- fused-front path: masks + per-128-block popcounts come from the Pallas
+# octave kernel (ops/pallas_pyramid.fused_octave_front), so the global
+# compaction runs off tiny count vectors instead of re-reading the DoG
+# volume and boolean mask through HBM. ---
+
+
+def octave_front_xla(
+    img: jnp.ndarray, half_kernels, threshold: float, window_size: int = 3
+):
+    """XLA equivalent of fused_octave_front for octaves the kernel can't
+    take (VMEM overflow on very wide images) and non-TPU backends.
+
+    ``img``: (B, H, W) seed.  Returns (gauss (B, S, H, W), dogs, mask
+    (B, S-3, H, nbm*128) f32, counts (B, S-3, H, nbm) int32) in exactly the
+    kernel's layout (mask border rows/cols zero, lanes >= W zero).
+    """
+    from sift_tpu.ops.blur import separable_blur
+
+    layers = [img]
+    for hk in half_kernels:
+        layers.append(separable_blur(layers[-1], hk))
+    g = jnp.stack(layers, axis=-3)
+    dogs = (
+        jax.lax.slice_in_dim(g, 1, g.shape[-3], axis=-3)
+        - jax.lax.slice_in_dim(g, 0, g.shape[-3] - 1, axis=-3)
+    )
+    h, w = img.shape[-2], img.shape[-1]
+    nbm = -(-w // 128)
+    m = jax.vmap(lambda d: extremum_mask(d, threshold, window_size))(dogs)
+    b = window_size // 2
+    mask = jnp.pad(
+        m.astype(img.dtype),
+        ((0, 0), (0, 0), (b, h - m.shape[2] - b), (b, nbm * 128 - m.shape[3] - b)),
+    )
+    counts = jnp.sum(
+        mask.reshape(mask.shape[0], mask.shape[1], h, nbm, 128),
+        axis=-1, dtype=jnp.int32,
+    )
+    return g, dogs, mask, counts
+
+
+def extrema_from_counts(
+    masks: list[jnp.ndarray],
+    counts: list[jnp.ndarray],
+    cap: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Counts-assisted global extrema compaction (batched, B leading).
+
+    ``masks[o]``: (B, n_int, H_o, nbm_o * 128) f32 0/1 from the octave front;
+    ``counts[o]``: (B, n_int, H_o, nbm_o) int32 per-128-lane-block popcounts.
+    Returns (oct_id (B, cap), zyx (B, cap, 3), valid (B, cap), total (B,))
+    in (octave, z, y, x)-lexicographic order — identical lane-for-lane to
+    detect_extrema_all on the same masks.
+
+    The k-th set bit is located with the same two-level compare-reduce +
+    row-gather scheme as ops.gather.compact_mask, but over the precomputed
+    128-lane-block counts (a ~40k-entry vector per image) instead of a
+    multi-megabyte boolean volume.
+    """
+    bsz = counts[0].shape[0]
+    n_int = counts[0].shape[1]
+    hs = [c.shape[2] for c in counts]
+    nbms = [c.shape[3] for c in counts]
+    sizes = [n_int * h * nbm for h, nbm in zip(hs, nbms)]
+    rbases = np.cumsum([0] + sizes).tolist()
+    r_total = rbases[-1]
+
+    flat = jnp.concatenate([c.reshape(bsz, -1) for c in counts], axis=1)
+    csum = jnp.cumsum(flat, axis=1, dtype=jnp.int32)  # inclusive, (B, R)
+    total = csum[:, -1]
+
+    k = jnp.arange(cap, dtype=jnp.int32)
+    ns = -(-r_total // 128)
+    big = jnp.iinfo(jnp.int32).max
+    csum2 = jnp.full((bsz, ns * 128), big, jnp.int32)
+    csum2 = jax.lax.dynamic_update_slice(csum2, csum, (0, 0))
+    csum2 = csum2.reshape(bsz, ns, 128)
+    sup_last = csum2[:, :, -1]  # (B, ns)
+    le_s = sup_last[:, None, :] <= k[None, :, None]  # (B, cap, ns)
+    sup = jnp.sum(le_s, axis=2).astype(jnp.int32)
+    supc = jnp.minimum(sup, ns - 1)
+    win = jnp.take_along_axis(csum2, supc[:, :, None], axis=1)  # (B, cap, 128)
+    le_w = win <= k[None, :, None]
+    row = sup * 128 + jnp.sum(le_w, axis=2).astype(jnp.int32)
+    base = jnp.maximum(
+        jnp.max(jnp.where(le_w, win, 0), axis=2),
+        jnp.max(jnp.where(le_s, sup_last[:, None, :], 0), axis=2),
+    )
+    rowc = jnp.minimum(row, r_total - 1)
+    rank = k[None, :] - base  # (B, cap) 0-based rank within the mask row
+
+    mrows = jnp.concatenate(
+        [m.reshape(bsz, -1, 128) for m in masks], axis=1
+    )  # (B, R, 128)
+    g = jnp.take_along_axis(
+        mrows, rowc[:, :, None], axis=1
+    )  # (B, cap, 128) row gather — the fast path
+    lanes = jnp.arange(128, dtype=jnp.int32)
+    tri = (lanes[:, None] <= lanes[None, :]).astype(jnp.float32)
+    pref = jnp.einsum(
+        "bkl,lm->bkm", g.astype(jnp.float32), tri,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    hit = (g > 0) & (pref == (rank[:, :, None] + 1).astype(jnp.float32))
+    lane = jnp.argmax(hit, axis=2).astype(jnp.int32)
+
+    oct_id = jnp.zeros(rowc.shape, jnp.int32)
+    for o in range(1, len(counts)):
+        oct_id = oct_id + (rowc >= rbases[o]).astype(jnp.int32)
+    local = rowc - lut(rbases[:-1], oct_id, jnp.int32)
+    nbm_l = lut(nbms, oct_id, jnp.int32)
+    h_l = lut(hs, oct_id, jnp.int32)
+    bblk = local % nbm_l
+    y = (local // nbm_l) % h_l
+    z = local // (nbm_l * h_l) + 1  # interior layers start at z = 1
+    x = bblk * 128 + lane
+    zyx = jnp.stack([z, y, x], axis=-1).astype(jnp.int32)
+    valid = k[None, :] < total[:, None]
+    return oct_id, zyx, valid, total
+
+
 # --- cross-octave fused path: every octave's extrema/refinement in ONE
 # program over global capacity buffers.  Removes the per-octave program
 # floor (~15-25 ms/octave of mask+compact+dispatch even for tiny octaves)

@@ -50,6 +50,7 @@ from sift_tpu.models.detect import (
 from sift_tpu.models.orient import orient_all, orient_octave_keypoints
 from sift_tpu.models.pyramid import build_pyramids, compute_initial_image
 from sift_tpu.ops.gather import build_multi_rows, compact_mask
+from sift_tpu.ops.resize import downsample_nearest_x2
 from sift_tpu.utils import keypoints as kputil
 from sift_tpu.utils.keypoints import Keypoints
 
@@ -138,6 +139,82 @@ def _use_pallas_relayout(vols_b) -> bool:
     return (
         jax.default_backend() == "tpu" and vols_b[0].dtype == jnp.float32
     )
+
+
+def _use_front(cfg: SiftConfig) -> bool:
+    """Route the batch pipeline through the fused octave FRONT (Pallas blur
+    chain emitting gauss/DoG stacks + extremum masks + popcounts in one
+    pass) — the production default on TPU f32.  Explicitly setting
+    ``use_pallas_pyramid=True`` forces it on any backend (interpret mode on
+    CPU, for tests)."""
+    if cfg.window_size != 3 or jnp.dtype(cfg.dtype) != jnp.float32:
+        return False
+    if cfg.use_pallas_pyramid is True:
+        return True
+    return cfg.use_pallas_pyramid is None and jax.default_backend() == "tpu"
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _jit_front_batch(imgs, cfg: SiftConfig, octaves: int):
+    """Pyramids + extremum masks + popcounts in one program (batched).
+
+    Per octave the Pallas front kernel emits (gauss stack, DoG stack, mask,
+    counts) from a single VMEM pass; octaves too wide for VMEM fall back to
+    the XLA equivalent (same layouts).  Returns four per-octave lists.
+    """
+    from sift_tpu.config import gaussian_half_kernel
+    from sift_tpu.models.detect import octave_front_xla
+    from sift_tpu.models.pyramid import compute_initial_image
+    from sift_tpu.ops.pallas_pyramid import (
+        fused_octave_front,
+        fused_octave_front_fits,
+    )
+
+    kernels = cfg.gaussian_kernels()
+    half_kernels = [gaussian_half_kernel(s) for s in kernels[1:]]
+    thr = cfg.extremum_threshold()
+    img = compute_initial_image(imgs, cfg)
+    gaussians, dogs, masks, counts = [], [], [], []
+    for _ in range(octaves):
+        if fused_octave_front_fits(img.shape, half_kernels, cfg.dtype):
+            g, d, m, c = fused_octave_front(img, half_kernels, thr)
+            w = m.shape[-1]
+            wpm = -(-w // 128) * 128
+            if wpm > w:  # lane-pad to whole 128-blocks (small octaves only)
+                m = jnp.pad(m, ((0, 0), (0, 0), (0, 0), (0, wpm - w)))
+        else:
+            g, d, m, c = octave_front_xla(
+                img, half_kernels, thr, cfg.window_size
+            )
+        gaussians.append(g)
+        dogs.append(d)
+        masks.append(m)
+        counts.append(c)
+        img = downsample_nearest_x2(g[:, g.shape[1] - 3])
+    return gaussians, dogs, masks, counts
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _jit_detect_refine_counts(dogs, masks, counts, cfg: SiftConfig):
+    """Counts-assisted extrema compaction + mixed-octave Newton refinement."""
+    from sift_tpu.models.detect import _REFINE_BLK, extrema_from_counts
+
+    oct_id, zyx, valid, n_ext = extrema_from_counts(
+        masks, counts, cfg.extrema_cap
+    )
+    if _use_pallas_relayout(dogs):
+        mr = _batch_multi_rows(dogs, _REFINE_BLK)
+    else:
+        mr = jax.vmap(lambda ds: build_multi_rows(ds, blk=_REFINE_BLK))(dogs)
+
+    def one(ds, o, z, v, m):
+        kp, off0, n_active = refine_keypoints_all(ds, o, z, v, cfg, mr=m)
+        n_ref = jnp.sum(kp.valid, dtype=jnp.int32)
+        kp, off0 = kputil.compact(kp, cfg.kp_cap, extra=off0)
+        return kp, off0, (n_ref, n_active)
+
+    kp, off0, (n_ref, n_active) = jax.vmap(one)(dogs, oct_id, zyx, valid, mr)
+    return kp, off0, (n_ext, n_ref, n_active)
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -295,8 +372,14 @@ def detect_and_describe_batch(
     scale = 2 if cfg.double_image_size else 1
     octaves = cfg.octaves_count(w * scale, h * scale)
 
-    gaussians, dogs = _jit_pyramids_batch(imgs, cfg, octaves)
-    kp, off0, (n_ext, n_ref, n_active) = _jit_detect_refine_batch(dogs, cfg)
+    if _use_front(cfg):
+        gaussians, dogs, masks, counts = _jit_front_batch(imgs, cfg, octaves)
+        kp, off0, (n_ext, n_ref, n_active) = _jit_detect_refine_counts(
+            dogs, masks, counts, cfg
+        )
+    else:
+        gaussians, dogs = _jit_pyramids_batch(imgs, cfg, octaves)
+        kp, off0, (n_ext, n_ref, n_active) = _jit_detect_refine_batch(dogs, cfg)
     if jnp.dtype(cfg.dtype) == jnp.float64:
         kp = _host_exact_sizes_mixed(kp, off0, cfg)
     mr = _jit_gauss_rows_batch(gaussians)

@@ -122,6 +122,193 @@ def _octave_kernel(in_ref, *out_refs, taps_list, sum_ws, strip, halo, height):
         prev_strip = g_strip
 
 
+# --- fused octave FRONT: blur chain + DoG + extremum mask + popcounts ---
+#
+# The production detect path needs, per octave: the gaussian stack (for
+# orientation/descriptors), the DoG stack (for Newton cubes), the 26-neighbor
+# extremum mask, and per-128-lane-block popcounts of that mask (so the global
+# extrema compaction can run off tiny count vectors instead of re-reading a
+# 78 MB boolean volume).  All of these are functions of values this kernel
+# already holds in VMEM, so emitting them here removes three full-pyramid HBM
+# round trips (XLA mask pass, mask concat, popcount) plus the XLA stack
+# copies of the per-layer blur outputs.
+
+
+def _spatial3(d, op):
+    """3x3 spatial min/max of a (strip+2, w) haloed strip -> (strip, w).
+
+    x neighbors via clamped lane shifts (border columns are masked False
+    downstream, so the clamp never changes a reported extremum); y neighbors
+    from the +-1 halo rows.
+    """
+    m = op(op(_shift_clamped_tpu(d, 1, 1), d), _shift_clamped_tpu(d, -1, 1))
+    return op(op(m[2:, :], m[1:-1, :]), m[:-2, :])
+
+
+def _octave_front_kernel(
+    in_ref, gauss_ref, dog_ref, mask_ref, counts_ref, *,
+    taps_list, sum_ws, strip, halo, height, width, nbm, thr,
+):
+    x = in_ref[:]  # (ext, w): strip rows + halo each side (edge-padded seed)
+    base = pl.program_id(1) * strip - halo
+    n = len(taps_list)
+    dtype = x.dtype
+    gauss_ref[0] = x[halo:halo + strip, :]
+    prev = x
+    dogs_h = []  # (strip + 2, w) haloed DoG strips for the 3x3x3 window
+    for i in range(n):
+        h = _h_pass(prev, taps_list[i], sum_ws[i])
+        v = _v_pass(h, taps_list[i], sum_ws[i])
+        v = _fix_borders(v, base, height)
+        gauss_ref[i + 1] = v[halo:halo + strip, :]
+        d = v - prev  # dog[i] = gauss[i+1] - gauss[i] (src/sift.cpp:217)
+        dog_ref[i] = d[halo:halo + strip, :]
+        dogs_h.append(d[halo - 1:halo + strip + 1, :])
+        prev = v
+
+    # Extremum mask (src/sift.cpp:227-291): >= all 27 window values or <=
+    # all of them (ties allowed; the window includes the center, which
+    # compares equal) and |center| > threshold.  Border rows/columns are
+    # excluded like the interior scan at src/sift.cpp:275-288.
+    s3max = [_spatial3(d, jnp.maximum) for d in dogs_h]
+    s3min = [_spatial3(d, jnp.minimum) for d in dogs_h]
+    w = x.shape[1]
+    grow = jax.lax.broadcasted_iota(jnp.int32, (strip, w), 0) + base + halo
+    lane = jax.lax.broadcasted_iota(jnp.int32, (strip, w), 1)
+    interior = (
+        (lane >= 1) & (lane <= width - 2) & (grow >= 1) & (grow <= height - 2)
+    )
+    # Per-128-block popcount as a (strip, w) @ (w, nbm) 0/1 matmul: exact in
+    # f32 (counts <= 128), stays off the scalar path.  The mask is emitted at
+    # raw width w — the caller pads lanes to nbm * 128 (a no-op for the big
+    # octaves, whose widths are already 128-aligned; Mosaic cannot lower the
+    # in-kernel lane pad).
+    bmat = (
+        jax.lax.broadcasted_iota(jnp.int32, (w, nbm), 0) // 128
+        == jax.lax.broadcasted_iota(jnp.int32, (w, nbm), 1)
+    ).astype(dtype)
+    thr_c = jnp.asarray(thr, dtype)
+    for zi in range(1, n - 1):
+        c = dogs_h[zi][1:-1, :]
+        wmax = jnp.maximum(jnp.maximum(s3max[zi - 1], s3max[zi]), s3max[zi + 1])
+        wmin = jnp.minimum(jnp.minimum(s3min[zi - 1], s3min[zi]), s3min[zi + 1])
+        m = (jnp.abs(c) > thr_c) & ((c >= wmax) | (c <= wmin)) & interior
+        mf = m.astype(dtype)
+        mask_ref[zi - 1] = mf
+        counts_ref[zi - 1] = jax.lax.dot(
+            mf, bmat, precision=jax.lax.Precision.HIGHEST
+        ).astype(jnp.int32)
+
+
+def pick_strip_front(
+    w: int, halo: int, n: int, itemsize: int = 4
+) -> int | None:
+    """Largest strip for the front kernel (blocks + temporaries in VMEM)."""
+    nbm = -(-w // 128)
+    wpm = nbm * 128
+    n_int = n - 2
+    for strip in (128, 64, 32, 16, 8):
+        ext = -(-(strip + 2 * halo) // 8) * 8
+        out_rows = (n + 1) * w + n * w + n_int * wpm + n_int * nbm
+        est = itemsize * (
+            2 * ext * w          # input window, double buffered
+            + 2 * strip * out_rows  # output blocks, double buffered
+            + 6 * ext * w        # blur chain temporaries
+            + n * (strip + 2) * w  # retained haloed DoG strips
+            + 2 * n * strip * w  # spatial min/max strips
+        )
+        if est <= _VMEM_BUDGET:
+            return strip
+    return None
+
+
+def fused_octave_front_fits(shape, half_kernels, dtype=jnp.float32) -> bool:
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
+    w = shape[-1]
+    halo = _chain_halo(half_kernels)
+    return pick_strip_front(w, halo, len(half_kernels)) is not None
+
+
+def fused_octave_front(
+    img: jnp.ndarray,
+    half_kernels: list[list[float]],
+    threshold: float,
+    interpret: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One octave, one kernel: seed (B, H, W) ->
+    (gauss (B, S, H, W), dogs (B, S-1, H, W),
+     mask (B, S-3, H, W) f32 0/1, counts (B, S-3, H, nbm) int32)
+
+    ``gauss`` includes the seed as layer 0 (S = len(half_kernels) + 1); the
+    mask covers the interior DoG layers (z in [1, S-3]) with border
+    rows/columns forced 0, in full-image coordinates; ``counts[z, y, b]`` is
+    the popcount of mask lanes [128 b, min(W, 128 (b+1))) of row (z, y).
+    Callers pad mask lanes to nbm * 128 before extrema_from_counts (zero
+    cost for 128-aligned widths).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[None]
+    b, h, w = img.shape
+    n = len(half_kernels)
+    nbm = -(-w // 128)
+    taps_list = tuple(tuple(float(t) for t in hk) for hk in half_kernels)
+    sum_ws = tuple(half_kernel_weight_sum(list(hk)) for hk in half_kernels)
+    halo = _chain_halo(half_kernels)
+    strip = pick_strip_front(w, halo, n, jnp.dtype(img.dtype).itemsize)
+    assert strip is not None, (img.shape, "use fused_octave_front_fits first")
+    strip = min(strip, max(32, -(-h // 8) * 8))
+    nstrips = -(-h // strip)
+    ext = strip + 2 * halo
+    ext = -(-ext // 8) * 8
+    pad_bot = (nstrips - 1) * strip + ext - halo - h
+    img_pad = jnp.pad(img, ((0, 0), (halo, pad_bot), (0, 0)), mode="edge")
+
+    kernel = partial(
+        _octave_front_kernel, taps_list=taps_list, sum_ws=sum_ws, strip=strip,
+        halo=halo, height=h, width=w, nbm=nbm, thr=float(threshold),
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b, nstrips),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n + 1, h, w), img.dtype),
+            jax.ShapeDtypeStruct((b, n, h, w), img.dtype),
+            jax.ShapeDtypeStruct((b, n - 2, h, w), img.dtype),
+            jax.ShapeDtypeStruct((b, n - 2, h, nbm), jnp.int32),
+        ],
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Squeezed(), pl.Element(ext, (0, 0)), pl.Element(w, (0, 0))),
+                lambda bi, s: (bi, s * strip, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=[
+            pl.BlockSpec((None, n + 1, strip, w), lambda bi, s: (bi, 0, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n, strip, w), lambda bi, s: (bi, 0, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n - 2, strip, w),
+                         lambda bi, s: (bi, 0, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n - 2, strip, nbm),
+                         lambda bi, s: (bi, 0, s, 0), memory_space=pltpu.VMEM),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(img_pad)
+    gauss, dogs, mask, counts = outs
+    if squeeze:
+        gauss, dogs, mask, counts = gauss[0], dogs[0], mask[0], counts[0]
+    return gauss, dogs, mask, counts
+
+
 def fused_octave_blur(
     img: jnp.ndarray,
     half_kernels: list[list[float]],

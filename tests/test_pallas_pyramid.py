@@ -78,3 +78,126 @@ def test_fused_octave_single_image():
         np.asarray(gauss[0]), np.asarray(want), rtol=0, atol=1e-4
     )
     assert gauss[0].shape == img.shape and len(gauss) == len(dogs) == 5
+
+
+def test_fused_octave_front_matches_xla_front():
+    """The front kernel's gauss/DoG match the XLA chain at ulp level, and
+    its extremum mask + popcounts are EXACT functions of its own DoGs."""
+    import jax
+
+    from sift_tpu import SiftConfig
+    from sift_tpu.config import gaussian_half_kernel
+    from sift_tpu.models.detect import extremum_mask, octave_front_xla
+    from sift_tpu.ops.pallas_pyramid import (
+        fused_octave_front,
+        fused_octave_front_fits,
+    )
+
+    cfg = SiftConfig()
+    hks = [gaussian_half_kernel(s) for s in cfg.gaussian_kernels()[1:]]
+    thr = cfg.extremum_threshold()
+    rng = np.random.default_rng(3)
+    # 160 lanes: exercises the W % 128 != 0 path (mask emitted at raw width)
+    base = rng.uniform(0, 255, (1, 96, 160)).astype(np.float32)
+    # smooth it so DoG extrema exist and are not razor-marginal
+    from sift_tpu.ops.blur import gaussian_blur
+
+    img = jnp.asarray(gaussian_blur(jnp.asarray(base), 2.0))
+    assert fused_octave_front_fits(img.shape, hks)
+
+    g, d, m, c = fused_octave_front(img, hks, thr, interpret=True)
+    g2, d2, m2, c2 = octave_front_xla(img, hks, thr)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d2), atol=1e-4)
+
+    # mask/counts: exact on the kernel's own DoG values
+    mm = jax.vmap(lambda dd: extremum_mask(dd, thr, 3))(d)
+    h, w = img.shape[1], img.shape[2]
+    mref = jnp.pad(
+        mm.astype(jnp.float32),
+        ((0, 0), (0, 0), (1, h - mm.shape[2] - 1), (1, w - mm.shape[3] - 1)),
+    )
+    assert m.shape == (1, 3, h, w)
+    assert bool(jnp.all(m == mref))
+    assert int(m.sum()) > 0, "test image produced no extrema"
+    nbm = -(-w // 128)
+    mp = jnp.pad(mref, ((0, 0), (0, 0), (0, 0), (0, nbm * 128 - w)))
+    cref = jnp.sum(
+        mp.reshape(1, 3, h, nbm, 128), axis=-1, dtype=jnp.int32
+    )
+    assert bool(jnp.all(c == cref))
+
+
+def test_extrema_from_counts_equals_detect_extrema_all():
+    """Counts-assisted compaction is lane-exact vs the mask-compaction path
+    across octaves, including capacity-overflow truncation."""
+    import jax
+
+    from sift_tpu.models.detect import detect_extrema_all, extrema_from_counts
+
+    rng = np.random.default_rng(7)
+    shapes = [(5, 40, 300), (5, 20, 150)]  # W % 128 != 0 on purpose
+    dogs = [
+        jnp.asarray(rng.normal(0, 2.0, s).astype(np.float32)) for s in shapes
+    ]
+    thr = 1.0
+    for cap in (16, 512):
+        oct_id, zyx, valid, tot = detect_extrema_all(dogs, thr, cap, 3)
+
+        from sift_tpu.models.detect import octave_front_xla
+
+        masks, counts = [], []
+        for d in dogs:
+            # reuse the xla front's mask/count layout from raw DoGs
+            from sift_tpu.models.detect import extremum_mask
+
+            m = extremum_mask(d, thr, 3)[None]
+            h, w = d.shape[1], d.shape[2]
+            nbm = -(-w // 128)
+            mp = jnp.pad(
+                m.astype(jnp.float32),
+                ((0, 0), (0, 0), (1, h - m.shape[2] - 1),
+                 (1, nbm * 128 - m.shape[3] - 1)),
+            )
+            masks.append(mp)
+            counts.append(
+                jnp.sum(mp.reshape(1, 3, h, nbm, 128), axis=-1,
+                        dtype=jnp.int32)
+            )
+        o2, z2, v2, t2 = extrema_from_counts(masks, counts, cap)
+        assert int(t2[0]) == int(tot)
+        assert bool(jnp.all(v2[0] == valid))
+        assert bool(jnp.all((o2[0] == oct_id) | ~valid))
+        assert bool(jnp.all((z2[0] == zyx) | ~valid[:, None]))
+
+
+def test_front_path_detect_and_describe():
+    """detect_and_describe_batch with the fused front forced (interpret mode
+    on CPU) stays within the documented ulp contract of the XLA path: same
+    keypoint count and byte-exact descriptors on a real image."""
+    import dataclasses
+
+    from PIL import Image
+
+    from sift_tpu import SiftConfig
+    from sift_tpu.models.sift import detect_and_describe_batch
+
+    img = np.asarray(
+        Image.open("tests/data/medium.png").convert("RGB")
+    ).astype(np.float32)
+    imgs = jnp.asarray(np.stack([img, img[:, ::-1]]))
+    cfg = SiftConfig(
+        dtype=jnp.float32, extrema_cap=4096, kp_cap=1024, ori_cap=1536
+    )
+    kp0 = detect_and_describe_batch(imgs, cfg)
+    kp1 = detect_and_describe_batch(
+        imgs, dataclasses.replace(cfg, use_pallas_pyramid=True)
+    )
+    v0, v1 = np.asarray(kp0.valid), np.asarray(kp1.valid)
+    assert (v0.sum(1) == v1.sum(1)).all() and v0.sum() > 0
+    np.testing.assert_allclose(
+        np.asarray(kp0.x)[v0], np.asarray(kp1.x)[v1], atol=1e-3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(kp0.desc)[v0], np.asarray(kp1.desc)[v1]
+    )
