@@ -105,34 +105,15 @@ def _detect_refine_fused(dogs, cfg: SiftConfig, mr=None):
 
 
 def _batch_multi_rows(vols_b, blk: int):
-    """Batched MultiRows with the batch folded into the Pallas relayout.
+    """Batched MultiRows: per-octave Pallas kernels write STRIP-INTERLEAVED
+    twin rows straight into one shared gather buffer (input_output_aliases),
+    so neither the XLA concat of the 2x-inflated rows (~9.5 ms per relayout
+    at batch 16) nor the materialized lane-padding copy remains.  Row
+    contents are identical to build_multi_rows; only the row order differs
+    (MultiRows.shp)."""
+    from sift_tpu.ops.pallas_relayout import twin_rows_strips
 
-    ``vols_b``: list of (B, S, H_o, W_o) stacks.  Equivalent to
-    ``jax.vmap(lambda vs: build_multi_rows(vs, blk))(vols_b)`` (same row
-    order: batch-major outside, octave-major inside) but streams each
-    octave's (B*S*H, W) matrix through the VMEM twin-block kernel instead
-    of vmapping the XLA pad+concat construction (~4x faster on v5e).
-    """
-    from sift_tpu.ops.gather import MultiRows
-    from sift_tpu.ops.pallas_relayout import twin_rows_2d
-
-    b = vols_b[0].shape[0]
-    rows_per_oct = []
-    nbs, bases, shapes = [], [], []
-    acc = 0
-    for v in vols_b:
-        _, s, h, w = v.shape
-        nb = -(-w // blk)
-        r2 = twin_rows_2d(v.reshape(b * s * h, w), blk)
-        rows_per_oct.append(r2.reshape(b, s * h * nb, 2 * blk))
-        shapes.append((s, h, w))
-        nbs.append(nb)
-        bases.append(acc)
-        acc += s * h * nb
-    return MultiRows(
-        rows=jnp.concatenate(rows_per_oct, axis=1),
-        shapes=tuple(shapes), blk=blk, nbs=tuple(nbs), bases=tuple(bases),
-    )
+    return twin_rows_strips(vols_b, blk)
 
 
 def _use_pallas_relayout(vols_b) -> bool:

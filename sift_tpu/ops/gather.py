@@ -199,6 +199,15 @@ class MultiRows:
     blk: int = dataclasses.field(metadata=dict(static=True))
     nbs: tuple = dataclasses.field(metadata=dict(static=True))
     bases: tuple = dataclasses.field(metadata=dict(static=True))
+    # Row-major (default): row of (s, y, b) is bases[o] + (s*H + y)*nb + b.
+    # Strip-interleaved (shp set = per-octave log2(strip), see
+    # pallas_relayout.twin_rows_strips): with r = s*H + y, ls = shp[o],
+    # st = 1 << ls, the row is
+    #   bases[o] + (((r >> ls) * nb + b) << ls) + (r & (st - 1)).
+    # Same row contents either way.
+    shp: tuple | None = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
 
 def build_multi_rows(
@@ -231,6 +240,7 @@ def merge_batch_multi_rows(mr: MultiRows, b: int) -> MultiRows:
         blk=mr.blk,
         nbs=mr.nbs * b,
         bases=tuple(bi * r + base for bi in range(b) for base in mr.bases),
+        shp=(mr.shp * b if mr.shp is not None else None),
     )
 
 
@@ -257,10 +267,18 @@ def gather_cubes_multi(
     b = jnp.clip((x - 1) // mr.blk, 0, nb - 1)
     ox = x - 1 - b * mr.blk
     d3 = jnp.arange(-1, 2)
-    ridx = base[:, None, None] + (
+    rloc = (
         (z[:, None, None] + d3[None, :, None]) * h[:, None, None]
         + (y[:, None, None] + d3[None, None, :])
-    ) * nb[:, None, None] + b[:, None, None]
+    )
+    if mr.shp is not None:
+        ls = lut(mr.shp, oct_id, jnp.int32)[:, None, None]
+        ridx = base[:, None, None] + (
+            (((rloc >> ls) * nb[:, None, None] + b[:, None, None]) << ls)
+            + (rloc & ((1 << ls) - 1))
+        )
+    else:
+        ridx = base[:, None, None] + rloc * nb[:, None, None] + b[:, None, None]
     g = mr.rows[ridx.reshape(-1)].reshape(-1, 9, 2 * mr.blk)
     return extract_cols(g, ox, 3).reshape(-1, 3, 3, 3)
 
@@ -297,7 +315,18 @@ def gather_patches_multi(
     ox = xs0 - b * mr.blk
     aa = jnp.arange(patch)
     ys = jnp.clip(ys0[:, None] + aa[None, :], 0, h[:, None] - 1)
-    ridx = base[:, None] + (layer[:, None] * h[:, None] + ys) * nb[:, None] + b[:, None]
+    rloc = layer[:, None] * h[:, None] + ys
+    if mr.shp is not None:
+        ls = lut(mr.shp, oct_id, jnp.int32)
+        lsc = ls[:, None]
+        ridx = base[:, None] + (
+            (((rloc >> lsc) * nb[:, None] + b[:, None]) << lsc)
+            + (rloc & ((1 << lsc) - 1))
+        )
+        blk_step = 1 << ls  # (N,) rows between adjacent blocks
+    else:
+        ridx = base[:, None] + rloc * nb[:, None] + b[:, None]
+        blk_step = jnp.ones_like(nb)
     if patch <= mr.blk + 1:
         g = mr.rows[ridx.reshape(-1)].reshape(-1, patch, 2 * mr.blk)
         return extract_cols(g, ox, patch)
@@ -306,7 +335,7 @@ def gather_patches_multi(
     # it runs past the last block those columns are >= (nb+1)*blk >= W and
     # must read 0 — gather a clamped row and zero it.
     ok2 = b + 2 <= nb - 1  # (N,)
-    ridx2 = ridx + 2 * ok2[:, None].astype(jnp.int32)  # clamped: stay on b
+    ridx2 = ridx + (2 * blk_step * ok2.astype(jnp.int32))[:, None]
     pair = jnp.stack([ridx, ridx2], axis=-1)  # (N, patch, 2)
     g = mr.rows[pair.reshape(-1)].reshape(-1, patch, 2, 2 * mr.blk)
     keep = ok2[:, None, None, None] | (

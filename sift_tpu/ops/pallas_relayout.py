@@ -62,3 +62,112 @@ def twin_rows_2d(
 
 def twin_fits(mat_shape, dtype) -> bool:
     return jnp.dtype(dtype) == jnp.float32
+
+
+# --- strip-interleaved twin rows, written straight into ONE shared buffer ---
+#
+# The row-major twin layout needs a per-octave kernel output followed by an
+# XLA concat into the global gather space (~9.5 ms per relayout at batch 16:
+# a full read+write of the 2x-inflated rows), plus a materialized jnp.pad of
+# every volume to feed the kernel.  Interleaving rows at STRIP granularity —
+# strips of ``st`` (power of two) consecutive image rows, each strip's nb
+# twin blocks stored back to back — makes every grid step's output a single
+# CONTIGUOUS (nb * st, 2 * blk) block of the global buffer, so per-octave
+# kernels write into it in place via input_output_aliases and the concat
+# disappears; the input block is the raw full-width strip (lane padding
+# happens in-register inside the kernel, so the jnp.pad copy disappears
+# too).  Row of (flat image row r, block b) is
+#
+#   bases[o] + (((r >> ls) * nb + b) << ls) + (r & (st - 1)),   ls = log2 st
+#
+# (see gather.MultiRows.shp — pure shifts/masks per gather lane).  Rows in
+# the per-octave strip padding (r >= S * H_o within the last strip) and in
+# the inter-octave alignment gaps are UNDEFINED — gathers never touch them
+# (row indices are always < S * H_o and clamped).
+
+
+def _twin_strips_kernel(x_ref, buf_ref, out_ref, *, nb, blk, st, w):
+    x = x_ref[:]  # (st, w) raw strip (rows past R are Pallas OOB padding)
+    wp = (nb + 1) * blk
+    if wp > w:
+        x = jnp.concatenate([x, jnp.zeros((st, wp - w), x.dtype)], axis=1)
+    for b in range(nb):
+        out_ref[b * st : (b + 1) * st, :] = x[:, b * blk : (b + 2) * blk]
+
+
+def _twin_strips_write(f, buf, base, blk, st, nb, rpad, interpret):
+    """Write octave rows ``f`` (B, R, W) into ``buf`` (B, RT, 2 * blk) in
+    place, strip-interleaved at ``base`` (must be a multiple of nb * st)."""
+    bsz, _, w = f.shape
+    return pl.pallas_call(
+        partial(_twin_strips_kernel, nb=nb, blk=blk, st=st, w=w),
+        grid=(bsz, rpad // st),
+        in_specs=[
+            pl.BlockSpec((None, st, w), lambda bi, s: (bi, s, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, nb * st, 2 * blk),
+            lambda bi, s: (bi, base // (nb * st) + s, 0),
+        ),
+        out_shape=jax.ShapeDtypeStruct(buf.shape, buf.dtype),
+        input_output_aliases={1: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(f, buf)
+
+
+def _pick_strip(r: int, nb: int, blk: int) -> int:
+    """Rows per grid step: biggest power of two keeping the in+out blocks
+    within ~8 MB of VMEM (x2 for double buffering) and the last-strip row
+    padding bounded for small volumes."""
+    st = 1024
+    while st > 8 and (
+        st * blk * 4 * (3 * nb + 1) > 8 * 1024 * 1024 or st >= 4 * max(8, r)
+    ):
+        st //= 2
+    return st
+
+
+def twin_rows_strips(
+    vols_b, blk: int = 64, strip: int | None = None,
+    interpret: bool | None = None,
+):
+    """Strip-interleaved twin gather space for (B, S, H_o, W_o) stacks.
+
+    Returns a gather.MultiRows with ``shp`` set to the per-octave log2(strip)
+    (see the layout comment above).  Row CONTENTS are identical to
+    gather.build_multi_rows (pure data movement, bit-exact); only the row
+    order differs.
+    """
+    from sift_tpu.ops.gather import MultiRows
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bsz = vols_b[0].shape[0]
+    flat = [v.reshape(bsz, -1, v.shape[-1]) for v in vols_b]
+    metas = []  # (nb, st, rpad, base)
+    acc = 0
+    for f in flat:
+        r, w = f.shape[1], f.shape[2]
+        nb = -(-w // blk)
+        st = strip or _pick_strip(r, nb, blk)
+        rpad = -(-r // st) * st
+        unit = nb * st
+        acc = -(-acc // unit) * unit  # base must be out-block-aligned
+        metas.append((nb, st, rpad, acc))
+        acc += nb * rpad
+    buf = jnp.zeros((bsz, acc, 2 * blk), vols_b[0].dtype)
+    for f, (nb, st, rpad, base) in zip(flat, metas):
+        buf = _twin_strips_write(f, buf, base, blk, st, nb, rpad, interpret)
+    return MultiRows(
+        rows=buf,
+        shapes=tuple(v.shape[-3:] for v in vols_b),
+        blk=blk,
+        nbs=tuple(m[0] for m in metas),
+        bases=tuple(m[3] for m in metas),
+        shp=tuple(m[1].bit_length() - 1 for m in metas),
+    )
