@@ -2,7 +2,10 @@
 # (the reference drives everything through one Makefile, Makefile:25-48;
 # here native code builds via csrc/, Python needs no build step)
 
-.PHONY: all native test test-fast bench clean oracle
+.PHONY: all native test test-fast bench clean oracle readme
+
+readme:
+	python scripts/gen_readme.py
 
 all: native
 
