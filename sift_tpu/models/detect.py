@@ -499,7 +499,7 @@ def detect_extrema_all(
 
 
 def refine_keypoints_all(
-    dogs: list[jnp.ndarray],
+    dogs: list[jnp.ndarray] | None,
     oct_id: jnp.ndarray,
     zyx: jnp.ndarray,
     valid: jnp.ndarray,
@@ -511,6 +511,10 @@ def refine_keypoints_all(
     Identical math to refine_octave_keypoints lane-for-lane; per-octave
     constants (dims, 2^octave) become per-lane table lookups.
 
+    ``dogs`` may be None when ``mr`` (the DoG MultiRows gather space) is
+    given — the twin-front path never materializes plain DoG stacks, and
+    everything needed here (per-octave dims, dtype) lives in ``mr``.
+
     Cascade schedule (refine_cascade_caps): step 1 runs on every lane, then
     before each phase the still-moving lanes (a fast-shrinking minority on
     real images) are compacted into a smaller buffer — exact because a step
@@ -520,14 +524,16 @@ def refine_keypoints_all(
     where ``n_active`` is the (P,)-vector of true still-moving counts
     entering each phase, for overflow detection against the phase caps.
     """
-    depth = dogs[0].shape[0]
     border = cfg.window_size // 2
-    dtype = dogs[0].dtype
     n = zyx.shape[0]
     if mr is None:
         mr = build_multi_rows(dogs, blk=_REFINE_BLK)
-    h_tbl = [d.shape[1] for d in dogs]
-    w_tbl = [d.shape[2] for d in dogs]
+    shapes = mr.shapes if dogs is None else [d.shape for d in dogs]
+    depth = shapes[0][0]
+    dtype = mr.rows.dtype if dogs is None else dogs[0].dtype
+    h_tbl = [s[1] for s in shapes]
+    w_tbl = [s[2] for s in shapes]
+    n_oct = len(shapes)
 
     def cube(oid):
         return lambda pos: xdiv(gather_cubes_multi(mr, oid, pos), 255.0)
@@ -587,7 +593,7 @@ def refine_keypoints_all(
     state = cur_state
 
     octave_scale = lut(
-        [float(math.pow(2, o)) for o in range(len(dogs))], oct_id, dtype
+        [float(math.pow(2, o)) for o in range(n_oct)], oct_id, dtype
     )
     kp, off0 = _accept_and_emit(state, octave_scale, oct_id, cfg, dtype, n)
     return kp, off0, jnp.stack(n_active)

@@ -135,6 +135,131 @@ def _use_front(cfg: SiftConfig) -> bool:
     return cfg.use_pallas_pyramid is None and jax.default_backend() == "tpu"
 
 
+def _front_twin_plan(cfg: SiftConfig, octaves: int, h1: int, w1: int):
+    """Static per-octave plan for the twin-front gather buffers.
+
+    (h1, w1): initial (post-doubling) image dims.  Returns
+    (plan, g_total, d_total, half_kernels, g_l0, g_nl, n, blk) where each
+    plan entry is (h, w, st, fits, nbt, gbase, dbase).
+    """
+    from sift_tpu.config import gaussian_half_kernel
+    from sift_tpu.models.detect import _REFINE_BLK
+    from sift_tpu.ops.pallas_pyramid import front_twin_strip
+
+    hks = [gaussian_half_kernel(s) for s in cfg.gaussian_kernels()[1:]]
+    n = len(hks)
+    g_l0, g_nl = 1, n - 2  # stored gauss layers [1, intervals]
+    blk = _REFINE_BLK
+    plan = []
+    gacc = dacc = 0
+    h, w = h1, w1
+    for _ in range(octaves):
+        nbt = -(-w // blk)
+        st = front_twin_strip((h, w), hks, g_nl, blk, cfg.dtype)
+        fits = st is not None
+        if st is None:  # XLA fallback octave: any power-of-two strip works
+            hp2 = 1 << max(h - 1, 7).bit_length()
+            st = min(128, max(32, hp2))
+        nstrips = -(-h // st)
+        g_unit, d_unit = g_nl * nbt * st, n * nbt * st
+        gacc = -(-gacc // g_unit) * g_unit
+        dacc = -(-dacc // d_unit) * d_unit
+        plan.append((h, w, st, fits, nbt, gacc, dacc))
+        gacc += nstrips * g_unit
+        dacc += nstrips * d_unit
+        h, w = h // 2, w // 2
+    return plan, gacc, dacc, hks, g_l0, g_nl, n, blk
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _jit_front_twin_batch(imgs, cfg: SiftConfig, octaves: int):
+    """Pyramids + extremum masks + popcounts + twin-row gather spaces in one
+    program (batched): the production TPU path.
+
+    The per-octave Pallas kernel (fused_octave_front_twin) writes the gauss
+    and DoG twin-block rows straight into two shared gather buffers, so the
+    plain stacks — and the two relayout passes that re-read them in the
+    round-3 pipeline — are never materialized.  Octaves too wide for VMEM
+    fall back to the XLA front + XLA twin construction (identical layout).
+    Returns (gauss MultiRows, dog MultiRows, masks, counts).
+    """
+    from sift_tpu.models.detect import octave_front_xla
+    from sift_tpu.ops.gather import MultiRows
+    from sift_tpu.ops.pallas_pyramid import (
+        fused_octave_front_twin,
+        twin_strided_xla,
+    )
+
+    thr = cfg.extremum_threshold()
+    img = compute_initial_image(imgs, cfg)
+    b, h1, w1 = img.shape
+    plan, g_total, d_total, hks, g_l0, g_nl, n, blk = _front_twin_plan(
+        cfg, octaves, h1, w1
+    )
+    gbuf = jnp.zeros((b, g_total, 2 * blk), cfg.dtype)
+    dbuf = jnp.zeros((b, d_total, 2 * blk), cfg.dtype)
+    masks, counts = [], []
+    for h, w, st, fits, nbt, gbase, dbase in plan:
+        if fits:
+            gbuf, dbuf, m, c, down = fused_octave_front_twin(
+                img, hks, thr, gbuf, dbuf, gbase, dbase, st, blk, g_l0, g_nl
+            )
+            wpm = -(-w // 128) * 128
+            if wpm > w:  # lane-pad to whole 128-blocks (small octaves only)
+                m = jnp.pad(m, ((0, 0), (0, 0), (0, 0), (0, wpm - w)))
+        else:
+            g, d, m, c = octave_front_xla(img, hks, thr, cfg.window_size)
+            gt = twin_strided_xla(g, blk, st, g_l0, g_nl)
+            dt = twin_strided_xla(d, blk, st, 0, n)
+            gbuf = jax.lax.dynamic_update_slice(gbuf, gt, (0, gbase, 0))
+            dbuf = jax.lax.dynamic_update_slice(dbuf, dt, (0, dbase, 0))
+            down = g[:, g.shape[1] - 3]
+        masks.append(m)
+        counts.append(c)
+        img = downsample_nearest_x2(down)
+    shp = tuple(p[2].bit_length() - 1 for p in plan)
+    gmr = MultiRows(
+        rows=gbuf,
+        shapes=tuple((n + 1, p[0], p[1]) for p in plan),
+        blk=blk,
+        nbs=tuple(p[4] for p in plan),
+        # bases pre-shifted by -l0*nb*st (gather.MultiRows.nls layout)
+        bases=tuple(p[5] - g_l0 * p[4] * p[2] for p in plan),
+        shp=shp,
+        nls=(g_nl,) * octaves,
+    )
+    dmr = MultiRows(
+        rows=dbuf,
+        shapes=tuple((n, p[0], p[1]) for p in plan),
+        blk=blk,
+        nbs=tuple(p[4] for p in plan),
+        bases=tuple(p[6] for p in plan),
+        shp=shp,
+        nls=(n,) * octaves,
+    )
+    return gmr, dmr, masks, counts
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _jit_detect_refine_counts_mr(masks, counts, dmr, cfg: SiftConfig):
+    """Counts-assisted extrema compaction + mixed-octave Newton refinement
+    off the DoG twin gather space (no plain DoG stacks anywhere)."""
+    from sift_tpu.models.detect import extrema_from_counts
+
+    oct_id, zyx, valid, n_ext = extrema_from_counts(
+        masks, counts, cfg.extrema_cap
+    )
+
+    def one(o, z, v, m):
+        kp, off0, n_active = refine_keypoints_all(None, o, z, v, cfg, mr=m)
+        n_ref = jnp.sum(kp.valid, dtype=jnp.int32)
+        kp, off0 = kputil.compact(kp, cfg.kp_cap, extra=off0)
+        return kp, off0, (n_ref, n_active)
+
+    kp, off0, (n_ref, n_active) = jax.vmap(one)(oct_id, zyx, valid, dmr)
+    return kp, off0, (n_ext, n_ref, n_active)
+
+
 @partial(jax.jit, static_argnums=(1, 2))
 def _jit_front_batch(imgs, cfg: SiftConfig, octaves: int):
     """Pyramids + extremum masks + popcounts in one program (batched).
@@ -291,7 +416,10 @@ def _jit_orient_batch(mr, kp, cfg: SiftConfig):
 
 @partial(jax.jit, static_argnums=(1,))
 def _jit_dedup_compact_batch(cand, cap: int):
-    return jax.vmap(lambda c: kputil.compact(kputil.sort_and_dedup(c), cap))(cand)
+    # Payload-carrying sort path: same keys/order/representatives as
+    # compact(sort_and_dedup(.)) but no per-lane 1D gathers (A/B probed in
+    # scripts/probe_dedup.py; equality in tests/test_dedup_fast.py).
+    return jax.vmap(lambda c: kputil.dedup_compact(c, cap))(cand)
 
 
 @partial(jax.jit, static_argnums=(2,))
@@ -354,16 +482,17 @@ def detect_and_describe_batch(
     octaves = cfg.octaves_count(w * scale, h * scale)
 
     if _use_front(cfg):
-        gaussians, dogs, masks, counts = _jit_front_batch(imgs, cfg, octaves)
-        kp, off0, (n_ext, n_ref, n_active) = _jit_detect_refine_counts(
-            dogs, masks, counts, cfg
+        gmr, dmr, masks, counts = _jit_front_twin_batch(imgs, cfg, octaves)
+        kp, off0, (n_ext, n_ref, n_active) = _jit_detect_refine_counts_mr(
+            masks, counts, dmr, cfg
         )
+        mr = gmr
     else:
         gaussians, dogs = _jit_pyramids_batch(imgs, cfg, octaves)
         kp, off0, (n_ext, n_ref, n_active) = _jit_detect_refine_batch(dogs, cfg)
+        mr = _jit_gauss_rows_batch(gaussians)
     if jnp.dtype(cfg.dtype) == jnp.float64:
         kp = _host_exact_sizes_mixed(kp, off0, cfg)
-    mr = _jit_gauss_rows_batch(gaussians)
     cand, n_cand = _jit_orient_batch(mr, kp, cfg)
     allkp = _jit_dedup_compact_batch(cand, cfg.ori_cap)
     desc = _jit_desc_all_batch(mr, allkp, cfg)

@@ -208,6 +208,18 @@ class MultiRows:
     shp: tuple | None = dataclasses.field(
         default=None, metadata=dict(static=True)
     )
+    # Strip-major / layer-minor (nls set WITH shp): the fused octave front
+    # kernel emits twin rows grouped by ROW strip first so each grid step
+    # writes one contiguous block covering every stored layer
+    # (ops/pallas_pyramid.fused_octave_front_twin).  nls[o] = number of
+    # STORED layers (may be < S: volumes storing layers [l0, l0+nl) carry
+    # ``bases`` pre-shifted by -l0*nb*st so the formula uses the raw stack
+    # layer index s; un-stored layers are only indexed by masked lanes).
+    # Row of (s, y, b):
+    #   bases[o] + ((((y >> ls) * nls + s) * nb + b) << ls) + (y & (st - 1)).
+    nls: tuple | None = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
 
 def build_multi_rows(
@@ -241,6 +253,7 @@ def merge_batch_multi_rows(mr: MultiRows, b: int) -> MultiRows:
         nbs=mr.nbs * b,
         bases=tuple(bi * r + base for bi in range(b) for base in mr.bases),
         shp=(mr.shp * b if mr.shp is not None else None),
+        nls=(mr.nls * b if mr.nls is not None else None),
     )
 
 
@@ -267,6 +280,17 @@ def gather_cubes_multi(
     b = jnp.clip((x - 1) // mr.blk, 0, nb - 1)
     ox = x - 1 - b * mr.blk
     d3 = jnp.arange(-1, 2)
+    if mr.nls is not None:
+        ls = lut(mr.shp, oct_id, jnp.int32)[:, None, None]
+        nl = lut(mr.nls, oct_id, jnp.int32)[:, None, None]
+        zz = z[:, None, None] + d3[None, :, None]
+        yy = y[:, None, None] + d3[None, None, :]
+        ridx = base[:, None, None] + (
+            (((yy >> ls) * nl + zz) * nb[:, None, None] + b[:, None, None])
+            << ls
+        ) + (yy & ((1 << ls) - 1))
+        g = mr.rows[ridx.reshape(-1)].reshape(-1, 9, 2 * mr.blk)
+        return extract_cols(g, ox, 3).reshape(-1, 3, 3, 3)
     rloc = (
         (z[:, None, None] + d3[None, :, None]) * h[:, None, None]
         + (y[:, None, None] + d3[None, None, :])
@@ -315,8 +339,22 @@ def gather_patches_multi(
     ox = xs0 - b * mr.blk
     aa = jnp.arange(patch)
     ys = jnp.clip(ys0[:, None] + aa[None, :], 0, h[:, None] - 1)
-    rloc = layer[:, None] * h[:, None] + ys
-    if mr.shp is not None:
+    if mr.nls is not None:
+        ls = lut(mr.shp, oct_id, jnp.int32)
+        nl = lut(mr.nls, oct_id, jnp.int32)
+        # Raw stack layer index: volumes storing layers [l0, l0+nl) carry
+        # bases pre-shifted by -l0*nb*st, so no per-lane offset is needed.
+        # Lanes with layer outside the stored range are always masked
+        # downstream; their (possibly negative) row indices clamp in the
+        # gather and read harmless garbage.
+        lsc = ls[:, None]
+        ridx = base[:, None] + (
+            (((ys >> lsc) * nl[:, None] + layer[:, None]) * nb[:, None]
+             + b[:, None]) << lsc
+        ) + (ys & ((1 << lsc) - 1))
+        blk_step = 1 << ls
+    elif mr.shp is not None:
+        rloc = layer[:, None] * h[:, None] + ys
         ls = lut(mr.shp, oct_id, jnp.int32)
         lsc = ls[:, None]
         ridx = base[:, None] + (
@@ -325,7 +363,11 @@ def gather_patches_multi(
         )
         blk_step = 1 << ls  # (N,) rows between adjacent blocks
     else:
-        ridx = base[:, None] + rloc * nb[:, None] + b[:, None]
+        ridx = (
+            base[:, None]
+            + (layer[:, None] * h[:, None] + ys) * nb[:, None]
+            + b[:, None]
+        )
         blk_step = jnp.ones_like(nb)
     if patch <= mr.blk + 1:
         g = mr.rows[ridx.reshape(-1)].reshape(-1, patch, 2 * mr.blk)

@@ -200,6 +200,13 @@ def _octave_front_kernel(
         ).astype(jnp.int32)
 
 
+def _front_halo(half_kernels: list[list[float]]) -> int:
+    """Front-kernel halo: chain halo + 1 row of slack so the last DoG's
+    +-1 strip-halo rows (read by the 3x3x3 extremum window) stay inside the
+    blur chain's valid margin instead of touching roll-wraparound rows."""
+    return _chain_halo(half_kernels) + 1
+
+
 def pick_strip_front(
     w: int, halo: int, n: int, itemsize: int = 4
 ) -> int | None:
@@ -226,7 +233,7 @@ def fused_octave_front_fits(shape, half_kernels, dtype=jnp.float32) -> bool:
     if jnp.dtype(dtype) != jnp.float32:
         return False
     w = shape[-1]
-    halo = _chain_halo(half_kernels)
+    halo = _front_halo(half_kernels)
     return pick_strip_front(w, halo, len(half_kernels)) is not None
 
 
@@ -257,7 +264,7 @@ def fused_octave_front(
     nbm = -(-w // 128)
     taps_list = tuple(tuple(float(t) for t in hk) for hk in half_kernels)
     sum_ws = tuple(half_kernel_weight_sum(list(hk)) for hk in half_kernels)
-    halo = _chain_halo(half_kernels)
+    halo = _front_halo(half_kernels)
     strip = pick_strip_front(w, halo, n, jnp.dtype(img.dtype).itemsize)
     assert strip is not None, (img.shape, "use fused_octave_front_fits first")
     strip = min(strip, max(32, -(-h // 8) * 8))
@@ -307,6 +314,260 @@ def fused_octave_front(
     if squeeze:
         gauss, dogs, mask, counts = gauss[0], dogs[0], mask[0], counts[0]
     return gauss, dogs, mask, counts
+
+
+# --- fused octave front emitting TWIN-ROW gather layouts directly ---
+#
+# The round-3 pipeline wrote plain gauss/DoG stacks from the front kernel and
+# then re-read them through two relayout passes (gauss MultiRows ~10.4 ms per
+# batch-8 sweep, plus the DoG twin relayout inside the detect stage).  Both
+# relayouts are pure data movement over arrays this kernel already holds in
+# VMEM, so it writes the twin-block rows itself and the plain stacks are
+# never materialized:
+#
+#   gauss twins: stored layers [1, intervals] only (refined keypoint layers
+#     always land there, see models/detect.py refine bounds), blk=64.
+#   DoG twins:   all layers (Newton cubes read z-1..z+1 over the full
+#     stack), blk=64 (= detect._REFINE_BLK).
+#   mask/counts: as fused_octave_front.
+#   down:        plain gauss layer S-3 (the next octave's seed,
+#     src/sift.cpp:195-196) — the only plain-layout output left.
+#
+# Twin rows are written STRIP-MAJOR / LAYER-MINOR so each grid step's output
+# is one contiguous block of the shared gather buffer: row of (layer s, image
+# row y, block b) is
+#   base + ((((y >> ls) * nl + (s - l0)) * nb + b) << ls) + (y & (st - 1))
+# (gather.MultiRows.nls layout; st = the kernel's own row strip, power of 2).
+# Per-octave kernels write into ONE shared buffer per volume kind via
+# input_output_aliases, like pallas_relayout.twin_rows_strips.
+
+
+def _octave_front_twin_kernel(
+    in_ref, gbuf_ref, dbuf_ref, gt_ref, dt_ref, mask_ref, counts_ref,
+    down_ref, *,
+    taps_list, sum_ws, strip, halo, height, width, nbm, thr, blk, nbt,
+    g_l0, g_nl,
+):
+    del gbuf_ref, dbuf_ref  # aliased into gt_ref / dt_ref
+    x = in_ref[:]  # (ext, w): strip rows + halo each side (edge-padded seed)
+    base = pl.program_id(1) * strip - halo
+    n = len(taps_list)
+    dtype = x.dtype
+    w = x.shape[1]
+    wpt = (nbt + 1) * blk
+
+    def write_twins(ref, slot, v_strip):
+        xt = v_strip
+        if wpt > w:
+            xt = jnp.concatenate(
+                [xt, jnp.zeros((strip, wpt - w), dtype)], axis=1
+            )
+        for bb in range(nbt):
+            ref[(slot * nbt + bb) * strip : (slot * nbt + bb + 1) * strip, :] = (
+                xt[:, bb * blk : (bb + 2) * blk]
+            )
+
+    prev = x
+    dogs_h = []  # (strip + 2, w) haloed DoG strips for the 3x3x3 window
+    for i in range(n):
+        h = _h_pass(prev, taps_list[i], sum_ws[i])
+        v = _v_pass(h, taps_list[i], sum_ws[i])
+        v = _fix_borders(v, base, height)
+        layer = i + 1  # gauss stack index (0 = seed)
+        if g_l0 <= layer < g_l0 + g_nl:
+            write_twins(gt_ref, layer - g_l0, v[halo:halo + strip, :])
+        if layer == n - 2:  # gauss[S-3], S = n+1: the next octave's seed
+            down_ref[...] = v[halo:halo + strip, :]
+        d = v - prev  # dog[i] = gauss[i+1] - gauss[i] (src/sift.cpp:217)
+        write_twins(dt_ref, i, d[halo:halo + strip, :])
+        dogs_h.append(d[halo - 1:halo + strip + 1, :])
+        prev = v
+
+    # Extremum mask + per-128-lane popcounts, as _octave_front_kernel.
+    s3max = [_spatial3(d, jnp.maximum) for d in dogs_h]
+    s3min = [_spatial3(d, jnp.minimum) for d in dogs_h]
+    grow = jax.lax.broadcasted_iota(jnp.int32, (strip, w), 0) + base + halo
+    lane = jax.lax.broadcasted_iota(jnp.int32, (strip, w), 1)
+    interior = (
+        (lane >= 1) & (lane <= width - 2) & (grow >= 1) & (grow <= height - 2)
+    )
+    bmat = (
+        jax.lax.broadcasted_iota(jnp.int32, (w, nbm), 0) // 128
+        == jax.lax.broadcasted_iota(jnp.int32, (w, nbm), 1)
+    ).astype(dtype)
+    thr_c = jnp.asarray(thr, dtype)
+    for zi in range(1, n - 1):
+        c = dogs_h[zi][1:-1, :]
+        wmax = jnp.maximum(jnp.maximum(s3max[zi - 1], s3max[zi]), s3max[zi + 1])
+        wmin = jnp.minimum(jnp.minimum(s3min[zi - 1], s3min[zi]), s3min[zi + 1])
+        m = (jnp.abs(c) > thr_c) & ((c >= wmax) | (c <= wmin)) & interior
+        mf = m.astype(dtype)
+        mask_ref[zi - 1] = mf
+        counts_ref[zi - 1] = jax.lax.dot(
+            mf, bmat, precision=jax.lax.Precision.HIGHEST
+        ).astype(jnp.int32)
+
+
+def pick_strip_front_twin(
+    w: int, halo: int, n: int, nl: int, blk: int, itemsize: int = 4
+) -> int | None:
+    """Largest power-of-two strip keeping the twin front kernel in VMEM."""
+    nbm = -(-w // 128)
+    nbt = -(-w // blk)
+    wpm = nbm * 128
+    n_int = n - 2
+    for strip in (128, 64, 32, 16, 8):
+        ext = -(-(strip + 2 * halo) // 8) * 8
+        est = itemsize * (
+            2 * ext * w                                # input, double buffered
+            + 2 * strip * (nl + n) * nbt * 2 * blk     # twin blocks, x2
+            + 2 * strip * (n_int * wpm + n_int * nbm + w)  # mask+counts+down
+            + 6 * ext * w                              # blur temporaries
+            + n * (strip + 2) * w                      # retained haloed DoGs
+            + 2 * n * strip * w                        # spatial min/max
+        )
+        if est <= _VMEM_BUDGET:
+            return strip
+    return None
+
+
+def front_twin_strip(shape, half_kernels, n_keep_gauss: int, blk: int = 64,
+                     dtype=jnp.float32) -> int | None:
+    """The strip the twin front kernel would use for this octave (None if it
+    does not fit VMEM or the dtype is unsupported).  Shared with the caller,
+    which must size the twin buffers with the same strip."""
+    if jnp.dtype(dtype) != jnp.float32:
+        return None
+    h, w = shape[-2], shape[-1]
+    halo = _front_halo(half_kernels)
+    strip = pick_strip_front_twin(
+        w, halo, len(half_kernels), n_keep_gauss, blk
+    )
+    if strip is None:
+        return None
+    hp2 = 1 << max(h - 1, 7).bit_length()  # smallest pow2 >= max(h, 8)
+    return min(strip, max(32, hp2))
+
+
+def fused_octave_front_twin(
+    img: jnp.ndarray,
+    half_kernels: list[list[float]],
+    threshold: float,
+    gbuf: jnp.ndarray,
+    dbuf: jnp.ndarray,
+    gbase: int,
+    dbase: int,
+    strip: int,
+    blk: int = 64,
+    g_l0: int = 1,
+    g_nl: int | None = None,
+    interpret: bool | None = None,
+):
+    """One octave, one kernel, twin-row outputs written in place.
+
+    img: (B, H, W) seed.  Writes gauss twin rows (stored layers
+    [g_l0, g_l0 + g_nl)) into ``gbuf`` at row ``gbase`` and DoG twin rows
+    (all layers) into ``dbuf`` at ``dbase`` (both (B, RT, 2 * blk),
+    strip-major/layer-minor layout, bases block-aligned), and returns
+    ``(gbuf, dbuf, mask, counts, down)`` where mask/counts are as
+    fused_octave_front and ``down`` is the plain gauss layer S-3.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, h, w = img.shape
+    n = len(half_kernels)
+    if g_nl is None:
+        g_nl = n - 2  # layers [1, intervals]
+    nbm = -(-w // 128)
+    nbt = -(-w // blk)
+    taps_list = tuple(tuple(float(t) for t in hk) for hk in half_kernels)
+    sum_ws = tuple(half_kernel_weight_sum(list(hk)) for hk in half_kernels)
+    halo = _front_halo(half_kernels)
+    nstrips = -(-h // strip)
+    ext = strip + 2 * halo
+    ext = -(-ext // 8) * 8
+    pad_bot = (nstrips - 1) * strip + ext - halo - h
+    img_pad = jnp.pad(img, ((0, 0), (halo, pad_bot), (0, 0)), mode="edge")
+
+    g_unit = g_nl * nbt * strip  # gauss twin rows per grid step
+    d_unit = n * nbt * strip
+    assert gbase % g_unit == 0 and dbase % d_unit == 0, (gbase, dbase)
+
+    kernel = partial(
+        _octave_front_twin_kernel, taps_list=taps_list, sum_ws=sum_ws,
+        strip=strip, halo=halo, height=h, width=w, nbm=nbm,
+        thr=float(threshold), blk=blk, nbt=nbt, g_l0=g_l0, g_nl=g_nl,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b, nstrips),
+        out_shape=[
+            jax.ShapeDtypeStruct(gbuf.shape, gbuf.dtype),
+            jax.ShapeDtypeStruct(dbuf.shape, dbuf.dtype),
+            jax.ShapeDtypeStruct((b, n - 2, h, w), img.dtype),
+            jax.ShapeDtypeStruct((b, n - 2, h, nbm), jnp.int32),
+            jax.ShapeDtypeStruct((b, h, w), img.dtype),
+        ],
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Squeezed(), pl.Element(ext, (0, 0)), pl.Element(w, (0, 0))),
+                lambda bi, s: (bi, s * strip, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (None, g_unit, 2 * blk),
+                lambda bi, s, gb=gbase // g_unit: (bi, gb + s, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, d_unit, 2 * blk),
+                lambda bi, s, db=dbase // d_unit: (bi, db + s, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((None, n - 2, strip, w),
+                         lambda bi, s: (bi, 0, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n - 2, strip, nbm),
+                         lambda bi, s: (bi, 0, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, strip, w), lambda bi, s: (bi, s, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        input_output_aliases={1: 0, 2: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(img_pad, gbuf, dbuf)
+    gbuf, dbuf, mask, counts, down = outs
+    return gbuf, dbuf, mask, counts, down
+
+
+def twin_strided_xla(
+    vol_b: jnp.ndarray, blk: int, st: int, l0: int = 0, nl: int | None = None
+) -> jnp.ndarray:
+    """XLA constructor of the strip-major/layer-minor twin layout.
+
+    (B, S, H, W) -> (B, nstrips * nl * nb * st, 2 * blk) keeping layers
+    [l0, l0 + nl).  Row contents identical to the kernel's (pure data
+    movement); used for octaves the kernel can't take and for tests.
+    """
+    b, s, h, w = vol_b.shape
+    if nl is None:
+        nl = s - l0
+    nb = -(-w // blk)
+    nstrips = -(-h // st)
+    v = vol_b[:, l0:l0 + nl]
+    v = jnp.pad(
+        v, ((0, 0), (0, 0), (0, nstrips * st - h), (0, (nb + 1) * blk - w))
+    )
+    a = v.reshape(b, nl, nstrips, st, nb + 1, blk)
+    twin = jnp.concatenate([a[..., :-1, :], a[..., 1:, :]], axis=-1)
+    t = twin.transpose(0, 2, 1, 4, 3, 5)  # (b, nstrips, nl, nb, st, 2blk)
+    return t.reshape(b, nstrips * nl * nb * st, 2 * blk)
 
 
 def fused_octave_blur(

@@ -1,0 +1,143 @@
+"""Twin-row fused front: layout + gather equivalence (interpret mode)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _cfg_hks():
+    from sift_tpu import SiftConfig
+    from sift_tpu.config import gaussian_half_kernel
+
+    cfg = SiftConfig()
+    hks = [gaussian_half_kernel(s) for s in cfg.gaussian_kernels()[1:]]
+    return cfg, hks
+
+
+def test_twin_strided_xla_gathers_match_multi_rows():
+    """Patch/cube gathers through the strip-major layout equal the row-major
+    MultiRows gathers (pure data movement)."""
+    from sift_tpu.ops.gather import (
+        MultiRows,
+        build_multi_rows,
+        gather_cubes_multi,
+        gather_patches_multi,
+    )
+    from sift_tpu.ops.pallas_pyramid import twin_strided_xla
+
+    rng = np.random.default_rng(0)
+    shapes = [(5, 40, 200), (5, 20, 100)]
+    vols = [jnp.asarray(rng.normal(size=s).astype(np.float32)) for s in shapes]
+    blk, st = 64, 16
+    mr_ref = build_multi_rows(vols, blk=blk)
+
+    rows, bases = [], []
+    acc = 0
+    for v in vols:
+        nb = -(-v.shape[2] // blk)
+        unit = v.shape[0] * nb * st
+        acc = -(-acc // unit) * unit
+        bases.append(acc)
+        t = twin_strided_xla(v[None], blk, st, 0, v.shape[0])[0]
+        rows.append((acc, t))
+        acc += t.shape[0]
+    buf = jnp.zeros((acc, 2 * blk), jnp.float32)
+    for base, t in rows:
+        buf = jax.lax.dynamic_update_slice(buf, t, (base, 0))
+    mr_new = MultiRows(
+        rows=buf, shapes=tuple(shapes), blk=blk,
+        nbs=tuple(-(-s[2] // blk) for s in shapes),
+        bases=tuple(bases), shp=(st.bit_length() - 1,) * 2,
+        nls=tuple(s[0] for s in shapes),
+    )
+
+    n = 300
+    oct_id = jnp.asarray(rng.integers(0, 2, n).astype(np.int32))
+    hs = np.array([shapes[o][1] for o in np.asarray(oct_id)])
+    ws = np.array([shapes[o][2] for o in np.asarray(oct_id)])
+    z = rng.integers(1, 4, n)
+    y = np.minimum(rng.integers(1, 39, n), hs - 2)
+    x = np.minimum(rng.integers(1, 199, n), ws - 2)
+    zyx = jnp.asarray(np.stack([z, y, x], -1).astype(np.int32))
+    c_ref = gather_cubes_multi(mr_ref, oct_id, zyx)
+    c_new = gather_cubes_multi(mr_new, oct_id, zyx)
+    np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c_new))
+
+    for patch in (9, 80):  # single and two-block fetch classes
+        layer = jnp.asarray(rng.integers(0, 5, n).astype(np.int32))
+        ys0 = jnp.asarray((y - patch // 2).astype(np.int32))
+        xs0 = jnp.asarray(np.maximum(x - patch // 2, 0).astype(np.int32))
+        p_ref = gather_patches_multi(mr_ref, oct_id, layer, ys0, xs0, patch)
+        p_new = gather_patches_multi(mr_new, oct_id, layer, ys0, xs0, patch)
+        np.testing.assert_array_equal(np.asarray(p_ref), np.asarray(p_new))
+
+
+@pytest.mark.parametrize("hw", [(96, 160), (300, 160)])
+def test_fused_front_twin_matches_front(hw):
+    """The twin kernel's buffers equal twin_strided_xla of the plain front's
+    stacks EXACTLY (same blur chain, different output layout), and
+    mask/counts/down match too."""
+    from sift_tpu.ops.pallas_pyramid import (
+        front_twin_strip,
+        fused_octave_front,
+        fused_octave_front_twin,
+        twin_strided_xla,
+    )
+
+    cfg, hks = _cfg_hks()
+    n = len(hks)
+    thr = cfg.extremum_threshold()
+    rng = np.random.default_rng(4)
+    from sift_tpu.ops.blur import gaussian_blur
+
+    img = jnp.asarray(
+        gaussian_blur(
+            jnp.asarray(rng.uniform(0, 255, (2,) + hw).astype(np.float32)), 2.0
+        )
+    )
+    h, w = hw
+    blk, g_l0, g_nl = 64, 1, n - 2
+    st = front_twin_strip((h, w), hks, g_nl, blk)
+    assert st is not None
+    nbt = -(-w // blk)
+    nstrips = -(-h // st)
+    gbuf = jnp.full((2, nstrips * g_nl * nbt * st, 2 * blk), -1.0, jnp.float32)
+    dbuf = jnp.full((2, nstrips * n * nbt * st, 2 * blk), -1.0, jnp.float32)
+    gbuf, dbuf, m, c, down = fused_octave_front_twin(
+        img, hks, thr, gbuf, dbuf, 0, 0, st, blk, g_l0, g_nl, interpret=True
+    )
+
+    g2, d2, m2, c2 = fused_octave_front(img, hks, thr, interpret=True)
+    np.testing.assert_array_equal(np.asarray(m), np.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(c2))
+    np.testing.assert_array_equal(
+        np.asarray(down), np.asarray(g2[:, g2.shape[1] - 3])
+    )
+
+    gt_ref = twin_strided_xla(g2, blk, st, g_l0, g_nl)
+    dt_ref = twin_strided_xla(d2, blk, st, 0, n)
+    # rows holding image rows >= H are padding (undefined); compare only
+    # defined rows: strip s covers image rows [s*st, min(H, (s+1)*st))
+    def defined(rows_like, nl):
+        mrows = np.ones(rows_like.shape[1], bool)
+        for s in range(nstrips):
+            lo = h - s * st
+            if lo < st:  # partial strip: rows [lo, st) of each block undefined
+                for l in range(nl):
+                    for b in range(nbt):
+                        off = ((s * nl + l) * nbt + b) * st
+                        mrows[off + max(lo, 0): off + st] = False
+        return mrows
+
+    gm = defined(gt_ref, g_nl)
+    np.testing.assert_array_equal(
+        np.asarray(gbuf)[:, gm], np.asarray(gt_ref)[:, gm]
+    )
+    dm = defined(dt_ref, n)
+    np.testing.assert_array_equal(
+        np.asarray(dbuf)[:, dm], np.asarray(dt_ref)[:, dm]
+    )

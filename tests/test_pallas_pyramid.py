@@ -80,17 +80,24 @@ def test_fused_octave_single_image():
     assert gauss[0].shape == img.shape and len(gauss) == len(dogs) == 5
 
 
-def test_fused_octave_front_matches_xla_front():
+@pytest.mark.parametrize("hw", [(96, 160), (300, 160)])
+def test_fused_octave_front_matches_xla_front(hw):
     """The front kernel's gauss/DoG match the XLA chain at ulp level, and
-    its extremum mask + popcounts are EXACT functions of its own DoGs."""
+    its extremum mask + popcounts are EXACT functions of its own DoGs.
+
+    The (300, 160) case forces nstrips >= 3 so the strip-boundary logic
+    (haloed DoG rows, border replicas) is covered by the exactness assert
+    (round-3 advisor finding)."""
     import jax
 
     from sift_tpu import SiftConfig
     from sift_tpu.config import gaussian_half_kernel
     from sift_tpu.models.detect import extremum_mask, octave_front_xla
     from sift_tpu.ops.pallas_pyramid import (
+        _front_halo,
         fused_octave_front,
         fused_octave_front_fits,
+        pick_strip_front,
     )
 
     cfg = SiftConfig()
@@ -98,7 +105,10 @@ def test_fused_octave_front_matches_xla_front():
     thr = cfg.extremum_threshold()
     rng = np.random.default_rng(3)
     # 160 lanes: exercises the W % 128 != 0 path (mask emitted at raw width)
-    base = rng.uniform(0, 255, (1, 96, 160)).astype(np.float32)
+    base = rng.uniform(0, 255, hw).astype(np.float32)[None]
+    if hw[0] > 128:
+        strip = pick_strip_front(hw[1], _front_halo(hks), len(hks))
+        assert -(-hw[0] // strip) >= 3, "case must exercise multiple strips"
     # smooth it so DoG extrema exist and are not razor-marginal
     from sift_tpu.ops.blur import gaussian_blur
 
