@@ -98,6 +98,69 @@ def sort_and_dedup(kp: Keypoints) -> Keypoints:
     return dataclasses.replace(kp, valid=keep)
 
 
+def dedup_compact(kp: Keypoints, out_cap: int) -> Keypoints:
+    """Fused clean_keypoints + compaction: one payload-carrying sort pass.
+
+    Semantically identical to ``compact(sort_and_dedup(kp), out_cap)`` (same
+    sort keys, same stable order, same representative of each duplicate run)
+    but built from two ``lax.sort`` calls that carry the keypoint fields as
+    payload operands — no per-lane 1D gathers (the scalar-gather slow path
+    that dominated the old dedup+compact stage on TPU).  Requires ``kp.desc``
+    to be all-zero (both callers dedup before descriptors are computed);
+    returns a buffer with fresh zero descriptors.
+
+    Reference: clean_keypoints (src/sift.cpp:20-24), Keypoint order/equality
+    (src/sift.hh:25-41).
+    """
+    big = jnp.asarray(jnp.inf, kp.x.dtype)
+    xk = jnp.where(kp.valid, kp.x, big)
+    yk = jnp.where(kp.valid, kp.y, big)
+    sneg = jnp.where(kp.valid, -kp.size, big)
+    pk = jnp.where(kp.valid, kp.pori, big)
+    oneg = jnp.where(kp.valid, -kp.octave, 2**30)
+
+    # Sort 1: the reference's 5-key order (x, y, size desc, pori, octave
+    # desc); layer/size/valid ride along as payloads.
+    xk, yk, sneg, pk, oneg, layer, size, valid = jax.lax.sort(
+        (xk, yk, sneg, pk, oneg, kp.layer, kp.size, kp.valid),
+        num_keys=5, is_stable=True,
+    )
+    same = (
+        (xk == jnp.roll(xk, 1))
+        & (yk == jnp.roll(yk, 1))
+        & (sneg == jnp.roll(sneg, 1))
+        & (pk == jnp.roll(pk, 1))
+    )
+    same = same.at[0].set(False)
+    keep = valid & ~same
+
+    # Sort 2: stable partition of kept lanes to the front (key = ~keep).
+    _, xk, yk, pk, oneg, layer, size, keep = jax.lax.sort(
+        (~keep, xk, yk, pk, oneg, layer, size, keep),
+        num_keys=1, is_stable=True,
+    )
+    n = kp.capacity
+    sl = (lambda a: a[:out_cap]) if out_cap <= n else (
+        lambda a: jnp.concatenate(
+            [a, jnp.zeros((out_cap - n,) + a.shape[1:], a.dtype)]
+        )
+    )
+    keep = sl(keep)
+    # Sanitize the +inf/sentinel poisons out of invalid lanes so downstream
+    # arithmetic (int casts in gather indexing) never sees non-finite values.
+    zf = jnp.zeros((), kp.x.dtype)
+    return Keypoints(
+        x=jnp.where(keep, sl(xk), zf),
+        y=jnp.where(keep, sl(yk), zf),
+        octave=jnp.where(keep, -sl(oneg), 0).astype(jnp.int32),
+        layer=jnp.where(keep, sl(layer), 0),
+        size=jnp.where(keep, sl(size), zf),
+        pori=jnp.where(keep, sl(pk), zf),
+        desc=jnp.zeros((out_cap, 128), jnp.uint8),
+        valid=keep,
+    )
+
+
 def compact_indices(valid: jnp.ndarray, out_cap: int):
     """Indices packing valid lanes front-first: (idx, in_range).
 
