@@ -78,13 +78,22 @@ def estimate_focal(
     return 0.85 * width
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def cylindrical_warp(img: jnp.ndarray, f: float, border: int = 0):
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def cylindrical_warp(img: jnp.ndarray, f: float, border: int = 0,
+                     supersample: int = 2):
     """Project an (H, W, C) image onto a cylinder of focal f.
 
     Output pixel (xc, yc): theta = (xc - cx) / f, hgt = (yc - cy) / f;
     source x = cx + f * tan(theta), y = cy + f * hgt / cos(theta).
     Returns (warped (H, W + 2*border, C), mask (H, W + 2*border)).
+
+    ``supersample``: subpixel grid averaged per output pixel.  The cylinder
+    map MINIFIES vertically by cos(theta) (down to ~0.8 at the edges of a
+    wide frame), and plain bilinear minification aliases fine structure
+    (window grids on the CAVE-04 towers turned into moire streaks,
+    round-3 verdict).  A 2x2 subsample average is an area prefilter at the
+    output rate and removes the moire; where the local scale is ~1 it is a
+    half-pixel box blur, visually neutral.
     """
     h, w = img.shape[0], img.shape[1]
     cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
@@ -94,27 +103,40 @@ def cylindrical_warp(img: jnp.ndarray, f: float, border: int = 0):
         jnp.arange(out_w, dtype=jnp.float32),
         indexing="ij",
     )
-    theta = (xs - border - cx) / f
-    hgt = (ys - cy) / f
-    sx = cx + f * jnp.tan(theta)
-    sy = cy + f * hgt / jnp.cos(theta)
 
-    inside = (sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1) & (
-        jnp.abs(theta) < 1.2
-    )
-    x0 = jnp.clip(jnp.floor(sx), 0, w - 1).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor(sy), 0, h - 1).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    fx = (sx - x0)[..., None]
-    fy = (sy - y0)[..., None]
-    v = (
-        img[y0, x0] * (1 - fx) * (1 - fy)
-        + img[y0, x1] * fx * (1 - fy)
-        + img[y1, x0] * (1 - fx) * fy
-        + img[y1, x1] * fx * fy
-    )
-    mask = inside.astype(jnp.float32)
+    def tap(dx, dy):
+        theta = (xs + dx - border - cx) / f
+        hgt = (ys + dy - cy) / f
+        sx = cx + f * jnp.tan(theta)
+        sy = cy + f * hgt / jnp.cos(theta)
+        inside = (sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1) & (
+            jnp.abs(theta) < 1.2
+        )
+        x0 = jnp.clip(jnp.floor(sx), 0, w - 1).astype(jnp.int32)
+        y0 = jnp.clip(jnp.floor(sy), 0, h - 1).astype(jnp.int32)
+        x1 = jnp.minimum(x0 + 1, w - 1)
+        y1 = jnp.minimum(y0 + 1, h - 1)
+        fx = (sx - x0)[..., None]
+        fy = (sy - y0)[..., None]
+        v = (
+            img[y0, x0] * (1 - fx) * (1 - fy)
+            + img[y0, x1] * fx * (1 - fy)
+            + img[y1, x0] * (1 - fx) * fy
+            + img[y1, x1] * fx * fy
+        )
+        return v, inside.astype(jnp.float32)
+
+    n = max(1, supersample)
+    offs = [(i + 0.5) / n - 0.5 for i in range(n)]
+    acc_v = 0.0
+    acc_m = 0.0
+    for dy in offs:
+        for dx in offs:
+            v, m = tap(dx, dy)
+            acc_v = acc_v + v * m[..., None]
+            acc_m = acc_m + m
+    mask = (acc_m >= (n * n) * 0.5).astype(jnp.float32)
+    v = acc_v / jnp.maximum(acc_m, 1.0)[..., None]
     return v * mask[..., None], mask
 
 
@@ -129,6 +151,113 @@ def robust_translation(p1: np.ndarray, p2: np.ndarray, ok: np.ndarray,
     if inl.sum() == 0:
         return med, 0
     return d[inl].mean(axis=0), int(inl.sum())
+
+
+def _rot2(a: float) -> np.ndarray:
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, -s], [s, c]])
+
+
+def robust_rigid(p1: np.ndarray, p2: np.ndarray, ok: np.ndarray,
+                 tol: float = 3.0, n_hyp: int = 256, seed: int = 0,
+                 ) -> tuple[float, np.ndarray, int]:
+    """Rigid transform p2 ~ R(alpha) p1 + t by 2-point RANSAC + Procrustes.
+
+    Pure per-edge translations cannot absorb camera ROLL between frames; on
+    sweeps with a degree of roll the translation residual grows linearly
+    with distance from the rotation center (alpha * r, tens of pixels at the
+    frame edge for the CAVE-04 sweep's measured ~2 degree rolls), which both
+    misaligns the seams at the canvas top/bottom (round-3 finding) AND
+    breaks a translation-median inlier seed.  So hypotheses come from match
+    PAIRS (two correspondences determine a 2-D rigid transform); the best
+    consensus set is refined with one Procrustes solve + re-selection.
+    Alpha is radians about the warped image's origin (the convention of the
+    3x3 [R | t] composite homographies).
+    """
+    q1, q2 = p1[ok], p2[ok]
+    n = len(q1)
+    if n < 2:
+        t, cnt = robust_translation(p1, p2, ok, tol)
+        return 0.0, t, cnt
+    rng = np.random.default_rng(seed)
+    pick = rng.integers(0, n, (n_hyp, 2))
+    v1 = q1[pick[:, 1]] - q1[pick[:, 0]]
+    v2 = q2[pick[:, 1]] - q2[pick[:, 0]]
+    ang = np.arctan2(v2[:, 1], v2[:, 0]) - np.arctan2(v1[:, 1], v1[:, 0])
+    c, s = np.cos(ang), np.sin(ang)
+    rot1 = np.stack(
+        [c[:, None] * q1[None, :, 0] - s[:, None] * q1[None, :, 1],
+         s[:, None] * q1[None, :, 0] + c[:, None] * q1[None, :, 1]], axis=-1
+    )  # (H, N, 2)
+    t_h = q2[pick[:, 0]] - rot1[np.arange(n_hyp), pick[:, 0]]
+    res = q2[None, :, :] - (rot1 + t_h[:, None, :])
+    inl_h = (res ** 2).sum(-1) < tol * tol
+    best = int(inl_h.sum(1).argmax())
+    sel = inl_h[best]
+    if sel.sum() < 2:
+        t, cnt = robust_translation(p1, p2, ok, tol)
+        return 0.0, t, cnt
+
+    def procrustes(sel):
+        c1, c2 = q1[sel].mean(0), q2[sel].mean(0)
+        a1, a2 = q1[sel] - c1, q2[sel] - c2
+        sxx = float((a1 * a2).sum())
+        sxy = float((a1[:, 0] * a2[:, 1] - a1[:, 1] * a2[:, 0]).sum())
+        alpha = float(np.arctan2(sxy, sxx))
+        t = c2 - _rot2(alpha) @ c1
+        return alpha, t
+
+    alpha, t = procrustes(sel)
+    res = q2 - (q1 @ _rot2(alpha).T + t)
+    sel2 = np.linalg.norm(res, axis=1) < tol
+    if sel2.sum() >= sel.sum():
+        alpha, t = procrustes(sel2)
+        sel = sel2
+    return alpha, t, int(sel.sum())
+
+
+def solve_global_rigid(
+    n_images: int,
+    center: int,
+    edges: list[tuple[int, int]],
+    alphas: list[float],
+    translations: list[np.ndarray],
+    weights: list[float] | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Global least-squares (angle, offset) per image from per-edge rigids.
+
+    Edge k maps image ``edges[k][0]`` coords into ``edges[k][1]`` coords:
+    p_j = R(alpha_k) p_i + t_k.  With per-image canvas warps
+    W_i(p) = R(phi_i) p + o_i, consistency W_i(p_i) = W_j(p_j) gives the two
+    linear systems
+
+        phi_i - phi_j = alpha_k          (angles; gauge phi_center = 0)
+        o_i - o_j = R(phi_j) t_k         (offsets, after solving angles)
+
+    Returns (phis (N,), offsets (N, 2)).
+    """
+    from sift_tpu.models.blend import solve_global_offsets
+
+    if not edges:
+        return np.zeros(n_images), np.zeros((n_images, 2))
+    w = np.sqrt(np.asarray(
+        weights if weights is not None else [1.0] * len(edges), np.float64
+    ).clip(min=1e-3))
+    a = np.zeros((len(edges) + 1, n_images))
+    b = np.zeros(len(edges) + 1)
+    for k, ((i, j), al) in enumerate(zip(edges, alphas)):
+        a[k, i] = w[k]
+        a[k, j] = -w[k]
+        b[k] = w[k] * al
+    a[len(edges), center] = max(10.0 * w.max(), 1.0)
+    phis, *_ = np.linalg.lstsq(a, b, rcond=None)
+    phis = phis - phis[center]
+    t_rot = [
+        _rot2(phis[j]) @ np.asarray(t, np.float64)
+        for (i, j), t in zip(edges, translations)
+    ]
+    offsets = solve_global_offsets(n_images, center, edges, t_rot, weights)
+    return phis, offsets
 
 
 def stitch_scene_cylindrical(
@@ -149,7 +278,6 @@ def stitch_scene_cylindrical(
     gain compensation + seam-aware multiband blending.
     """
     from sift_tpu import SiftConfig, detect_and_describe
-    from sift_tpu.models.blend import solve_global_offsets
     from sift_tpu.models.stitch import (
         composite,
         match_points,
@@ -195,15 +323,16 @@ def stitch_scene_cylindrical(
         (a, b, np.asarray(x), np.asarray(y), np.asarray(o))
         for (a, b, x, y, o) in results
     ]
-    edges, translations, weights = [], [], []
+    edges, alphas, translations, weights = [], [], [], []
     for a, b, p1, p2, ok in results:
-        t, n_inl = robust_translation(p1, p2, ok)
+        al, t, n_inl = robust_rigid(p1, p2, ok)
         if n_inl >= 4:
             edges.append((a, b))
+            alphas.append(al)
             translations.append(t)
             weights.append(float(n_inl))
-    offsets = solve_global_offsets(
-        len(images), graph.center_index, edges, translations, weights
+    phis, offsets = solve_global_rigid(
+        len(images), graph.center_index, edges, alphas, translations, weights
     )
 
     # Drop images not reachable from the center through SURVIVING edges:
@@ -230,12 +359,30 @@ def stitch_scene_cylindrical(
     homs = []
     for i in order:
         t = np.eye(3)
+        t[:2, :2] = _rot2(phis[i])
         t[0, 2], t[1, 2] = offsets[i]
         homs.append(t)
     warped_np = [np.asarray(warped[i], np.float32) for i in order]
     if diagnostics is not None:
+        # Geometric registration quality: median per-edge canvas residual of
+        # the matched features under the SOLVED global warps.  Unlike the
+        # photometric overlap_consistency, this is immune to scene motion
+        # (billboards/crowds) and catches drift/misregistration directly.
+        def canvas(i, p):
+            return p @ _rot2(phis[i]).T + offsets[i]
+
+        surviving = set(edges)
+        edge_res = []
+        for a, b, p1, p2, ok in results:
+            if (a, b) not in surviving or ok.sum() == 0:
+                continue
+            r = np.linalg.norm(canvas(a, p1[ok]) - canvas(b, p2[ok]), axis=1)
+            edge_res.append(float(np.median(r)))
         diagnostics.update(
-            focal=float(f), offsets=offsets, edges=edges,
+            focal=float(f), offsets=offsets, phis=phis, edges=edges,
             warped=warped_np, homographies=homs,
+            edge_residual_px=(float(np.median(edge_res)) if edge_res
+                              else float("nan")),
+            edge_residuals=edge_res,
         )
     return composite(warped_np, homs, seam_aware=seam_aware)

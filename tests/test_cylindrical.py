@@ -6,6 +6,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -41,12 +42,42 @@ def test_estimate_focal_fallback():
 def test_cylindrical_warp_center_preserved():
     rng = np.random.default_rng(0)
     img = rng.uniform(0, 255, (64, 96, 3)).astype(np.float32)
-    out, mask = cylindrical_warp(jnp.asarray(img), 5000.0)
+    # supersample=1: the identity contract is about the geometry; the
+    # default 2x2 area prefilter intentionally box-blurs by half a pixel.
+    out, mask = cylindrical_warp(jnp.asarray(img), 5000.0, 0, 1)
     out = np.asarray(out)
     mask = np.asarray(mask)
     # Huge focal => near-identity mapping in the interior.
     assert mask[32, 48] == 1.0
     np.testing.assert_allclose(out[20:44, 30:66], img[20:44, 30:66], atol=2.0)
+
+
+def test_cylindrical_warp_supersample_kills_moire():
+    """A fine-period vertical grating minified by the cylinder map must not
+    alias into low-frequency streaks (round-3 CAVE-04 blocking defect).
+
+    Metric: energy of the warped image's low-frequency vertical bands in a
+    side region (where cos(theta) minifies).  The 2x2 area prefilter must
+    cut it well below the plain bilinear warp's.
+    """
+    h, w = 128, 512
+    f = 220.0  # strong edge minification: cos at the border ~ 0.66
+    ys = np.arange(h)
+    grating = (np.tile(((ys // 2) % 2)[:, None], (1, w)) * 255.0)
+    img = jnp.asarray(np.repeat(grating[:, :, None], 3, axis=2).astype(np.float32))
+
+    def lowfreq_energy(out):
+        side = np.asarray(out)[20:-20, -120:-40, 0]
+        spec = np.abs(np.fft.rfft(side - side.mean(0), axis=0))
+        # the grating itself lives at the top of the spectrum; aliased
+        # streaks land in the low bins
+        return float(spec[1:10].sum())
+
+    plain, _ = cylindrical_warp(img, f, 0, 1)
+    aa, _ = cylindrical_warp(img, f, 0, 2)
+    e_plain = lowfreq_energy(plain)
+    e_aa = lowfreq_energy(aa)
+    assert e_aa < 0.55 * e_plain, (e_plain, e_aa)
 
 
 def test_cylindrical_rotation_becomes_translation():
@@ -136,3 +167,89 @@ def test_stitch_scene_cylindrical_end_to_end():
         diag["warped"], [t @ h for h in diag["homographies"]], oh, ow
     )
     assert ci < 6.0, f"overlap consistency degraded: {ci}"
+
+
+def test_robust_rigid_and_global_solve():
+    """Per-edge Procrustes recovers (roll, translation) under outliers, and
+    the global solve chains angles/offsets consistently."""
+    from sift_tpu.models.cylindrical import (
+        _rot2,
+        robust_rigid,
+        solve_global_rigid,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 200
+    p1 = rng.uniform(0, 300, (n, 2))
+    alpha_true, t_true = 0.02, np.array([45.0, -7.0])
+    p2 = p1 @ _rot2(alpha_true).T + t_true + rng.normal(0, 0.25, (n, 2))
+    p2[:30] = rng.uniform(0, 300, (30, 2))  # outliers
+    al, t, inl = robust_rigid(p1, p2, np.ones(n, bool))
+    assert inl > 120
+    assert abs(al - alpha_true) < 2e-3, al
+    np.testing.assert_allclose(t, t_true, atol=0.6)
+
+    # three images: 1 is center; edges (0,1), (1,2) with known rigids
+    phis_true = np.array([0.015, 0.0, -0.02])
+    offs_true = np.array([[100.0, 5.0], [0.0, 0.0], [-95.0, 3.0]])
+
+    def edge_rigid(i, j):
+        # p_j = R(phi_j)^-1 (R(phi_i) p_i + o_i - o_j)
+        a = phis_true[i] - phis_true[j]
+        t = _rot2(-phis_true[j]) @ (offs_true[i] - offs_true[j])
+        return a, t
+
+    edges = [(0, 1), (1, 2)]
+    alphas, ts = zip(*(edge_rigid(i, j) for i, j in edges))
+    phis, offs = solve_global_rigid(3, 1, edges, list(alphas), list(ts))
+    np.testing.assert_allclose(phis, phis_true, atol=1e-9)
+    np.testing.assert_allclose(offs, offs_true, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_cave04_subset_quality_gate():
+    """REAL-scene quality gate (round-3 verdict: the synthetic-crop gate
+    missed visible defects on the actual CAVE-04 render).  Stitches a
+    6-frame half-res subset of the real Times Square sweep and asserts the
+    pre-blend overlap consistency of the registered layout."""
+    import pathlib
+
+    import jax.numpy as jnp
+
+    from sift_tpu import SiftConfig
+    from sift_tpu.models.blend import overlap_consistency
+    from sift_tpu.models.cylindrical import stitch_scene_cylindrical
+    from sift_tpu.models.stitch import _canvas_layout
+    from sift_tpu.utils.io import load_image
+    from sift_tpu.utils.stitch_graph import StitchGraph
+
+    scene = pathlib.Path(
+        "/root/reference/stitching/collection/Dataset/CAVE-04_times_square"
+    )
+    if not scene.exists():
+        pytest.skip("reference dataset not mounted")
+    idxs = [3, 4, 5, 6, 7, 8]  # consecutive frames: every chain edge is a
+    # true heavy-overlap edge (the scene's own graph pairs 4 with 5 and 10)
+    images = [load_image(str(scene / f"{i:02d}.jpg"))[::2, ::2] for i in idxs]
+    graph = StitchGraph(
+        center_index=1, center_rotation=0.0, images_count=len(images),
+        edges=tuple((a, a + 1) for a in range(len(images) - 1)),
+    )
+    cfg = SiftConfig(dtype=jnp.float32, extrema_cap=2048, kp_cap=1024,
+                     ori_cap=2048)
+    diag: dict = {}
+    pano = stitch_scene_cylindrical(images, graph, cfg, diagnostics=diag)
+    assert pano.shape[1] > images[0].shape[1]  # actually panoramic
+    assert len(diag["warped"]) == len(images), "images dropped from layout"
+    # Geometric gate: median canvas residual of matched features under the
+    # solved global warps — immune to the scene's animated billboards and
+    # crowds.  Defect-free render measures ~1-1.5 px at half-res; the
+    # round-3 misaligned layout (uncorrected ~2 degree per-frame roll) put
+    # tens of px of drift at the frame corners.
+    assert diag["edge_residual_px"] < 3.0, diag["edge_residuals"]
+    # Photometric sanity (loose: billboards change content between frames).
+    oh, ow, t = _canvas_layout(diag["warped"], diag["homographies"])
+    ci = overlap_consistency(
+        diag["warped"], [t @ h for h in diag["homographies"]], oh, ow
+    )
+    assert ci < 60.0, f"overlap consistency degraded: {ci}"
