@@ -124,6 +124,26 @@ def main() -> None:
     rows.append(m)
     print(json.dumps(m), flush=True)
 
+    # Sequence 3: 100+ frame multi-pass loop (out, back, out again — two
+    # full revisit passes; round-4 verdict asked for a 100+ frame loop).
+    seg = max((2 * n) // 3, 4)
+    step3 = 1.6 / seg
+    ts = (
+        [f * step3 for f in range(seg)]
+        + [(seg - 2 - f) * step3 for f in range(seg - 1)]
+        + [(f + 1) * step3 for f in range(seg - 1)]
+    )
+    frames, gt = render_sequence(ts=ts)
+    t0 = time.time()
+    res = run_sfm(frames, k, cfg, ba_iters=20)
+    el = time.time() - t0
+    m = _metrics(_recover_centers(res, len(frames)), gt)
+    m.update(seq=f"bigloop-{len(ts)}", frames=len(ts), seconds=round(el, 1),
+             points=res.info["n_points"], obs=res.info["n_obs"],
+             pruned=res.info.get("pruned_obs", 0))
+    rows.append(m)
+    print(json.dumps(m), flush=True)
+
     if args.out:
         lines = [
             "",

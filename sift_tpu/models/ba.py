@@ -65,9 +65,27 @@ def _residuals(pr: BAProblem, cams, points):
     return r, z[:, 0]
 
 
-def _cost(pr: BAProblem, cams, points):
+def _cost(pr: BAProblem, cams, points, huber_delta: float | None = None):
     r, _ = _residuals(pr, cams, points)
-    return jnp.sum(r * r)
+    if huber_delta is None:
+        return jnp.sum(r * r)
+    rn = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-12)
+    d = huber_delta
+    rho = jnp.where(rn <= d, rn * rn, 2.0 * d * rn - d * d)
+    return jnp.sum(rho * pr.obs_mask)
+
+
+def _huber_sqrt_weights(r: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """sqrt of the IRLS weight min(1, delta/||r||) per observation.
+
+    Scaling residual and Jacobian rows by this implements a Huber loss in
+    the Gauss-Newton normal equations: inliers (||r|| <= delta) keep full
+    quadratic weight, outliers contribute linearly.  Without it the L2 BA
+    demonstrably walks away from the good incremental solution on loop
+    sequences whose merged tracks carry ~20 px outlier observations (the
+    round-3 loop-15 "degradation" was exactly this)."""
+    rn = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-12)
+    return jnp.sqrt(jnp.minimum(1.0, delta / rn))
 
 
 def _jacobians(pr: BAProblem, cams, points):
@@ -169,27 +187,39 @@ def _back_substitute(v_inv, w, cam_of, g_p, delta_c):
     return jnp.einsum("pij,pj->pi", v_inv, g_p - acc)
 
 
-@partial(jax.jit, donate_argnums=())
-def ba_step(pr: BAProblem, lam: jnp.ndarray):
+@partial(jax.jit, donate_argnums=(), static_argnums=(2,))
+def ba_step(pr: BAProblem, lam: jnp.ndarray, huber_delta: float | None = None):
     """One damped Gauss-Newton (LM) step; returns candidate (cams, points)."""
     r, jc, jp = _jacobians(pr, pr.cams, pr.points)
+    if huber_delta is not None:
+        sw = _huber_sqrt_weights(r, huber_delta)
+        r = r * sw[:, None]
+        jc = jc * sw[:, None, None]
+        jp = jp * sw[:, None, None]
     s, rhs, v_inv, w, cam_of, g_p = _schur_reduce(pr, jc, jp, r, lam)
     delta_c = _solve_cameras(s, rhs, pr.fixed_cams)
     delta_p = _back_substitute(v_inv, w, cam_of, g_p, delta_c)
     return pr.cams + delta_c, pr.points + delta_p
 
 
-def ba_solve(pr: BAProblem, iters: int = 20, lam0: float = 1e-3):
+def ba_solve(pr: BAProblem, iters: int = 20, lam0: float = 1e-3,
+             huber_delta: float | None = None):
     """LM loop with accept/reject and damping schedule (host-controlled).
 
-    Returns (cams, points, info dict with cost trace).
+    ``huber_delta`` (pixels): robustify with a Huber loss (IRLS weights in
+    every step, Huber objective in the accept/reject test).  None keeps the
+    plain L2 objective.  Returns (cams, points, info dict with cost trace).
     """
-    cost_fn = jax.jit(lambda p, c, x: _cost(p, c, x))
+    cost_fn = jax.jit(
+        lambda p, c, x: _cost(p, c, x, huber_delta), static_argnums=()
+    )
     lam = lam0
     cost = float(cost_fn(pr, pr.cams, pr.points))
     trace = [cost]
     for _ in range(iters):
-        cams_new, pts_new = ba_step(pr, jnp.asarray(lam, pr.cams.dtype))
+        cams_new, pts_new = ba_step(
+            pr, jnp.asarray(lam, pr.cams.dtype), huber_delta
+        )
         new_cost = float(cost_fn(pr, cams_new, pts_new))
         if new_cost < cost and np.isfinite(new_cost):
             pr = dataclasses.replace(pr, cams=cams_new, points=pts_new)

@@ -73,28 +73,43 @@ def _normalize(uv: np.ndarray, k: np.ndarray) -> np.ndarray:
 
 def _geometric_verify(
     keypoints_uv, pair_matches, k, seed, thr: float = 2e-3, min_inl: int = 12,
+    sigma_px: float = 1.0, keep_sigma: float = 2.0,
+    stats: dict | None = None,
 ):
-    """Per-pair essential-matrix RANSAC filter before track building.
+    """Per-pair geometric verification with GRIC H-vs-E model selection.
 
     Raw ratio-test matches contain repeated-texture confusions (the same
     patch on two scene planes); letting them into the union-find merges
     tracks across physically distinct points and poisons every downstream
     stage (COLMAP-style pipelines all geometrically verify pairs first).
-    Near-zero-disparity pairs (revisited viewpoints) are kept unfiltered:
-    two-view geometry is degenerate there, but identity-like matches carry
-    no translation signal to corrupt.
 
-    Off by default: on the rendered eval (near-planar scene, pure lateral
-    translation — the classic E-estimation degeneracy) filtering measurably
-    HURT (sweep-16 ATE 0.94% -> 6.0% of path) by thinning good tracks.
-    Enable for general scenes with parallax and repeated texture; prefer a
-    homography-aware verifier (GRIC-style model selection) before making it
-    the default.
+    An E-only verifier measurably HURT on near-planar / small-parallax pairs
+    (round-3 finding: sweep-16 ATE 0.94% -> 6.0% of path): with degenerate
+    two-view geometry, E-RANSAC picks an arbitrary epipolar model and thins
+    good tracks.  The fix is Torr's GRIC model selection: fit BOTH an
+    essential matrix and a homography per pair and keep the inliers of the
+    model with the lower criterion
+
+        GRIC_M = sum_i rho_M(e_i^2 / sigma^2) + lam1 * d_M * n + lam2 * k_M,
+        rho_M(x) = min(x, 2 * (r - d_M)),  r = 4,
+        (d, k) = (3, 5) for E, (2, 8) for H,
+        lam1 = log(r), lam2 = log(r * n)
+
+    (P.H.S. Torr, "An assessment of information criteria for motion model
+    selection", CVPR 1997).  Planar / rotation-only / zero-baseline pairs
+    select H (well-posed there, filtering the texture confusions E cannot),
+    general-parallax pairs select E.  Near-static pairs (median disparity
+    < 1.5 px) skip straight to H — they are exactly H-modeled and E is
+    maximally degenerate; verifying them (instead of round-3's
+    keep-unfiltered shortcut) is what removes the loop-closure track
+    poisoning on revisited viewpoints.
     """
-    import jax
+    from sift_tpu.models.geometry import _sampson_err2, ransac_essential
+    from sift_tpu.models.stitch import _apply_h, ransac_homography
 
-    from sift_tpu.models.geometry import ransac_essential
-
+    f_mean = float(np.sqrt(k[0, 0] * k[1, 1]))
+    sig2 = sigma_px * sigma_px
+    lam1 = float(np.log(4.0))
     out = {}
     for (i, j), m in pair_matches.items():
         if len(m) < 16:
@@ -102,24 +117,83 @@ def _geometric_verify(
             continue
         p1 = keypoints_uv[i][m[:, 0]]
         p2 = keypoints_uv[j][m[:, 1]]
-        disp = np.median(np.linalg.norm(p2 - p1, axis=1))
-        if disp < 1.5:  # revisited / static pair: E is degenerate
-            out[(i, j)] = m
-            continue
-        cap = max(64, 1 << int(np.ceil(np.log2(len(m)))))
+        n_m = len(m)
+        cap = max(64, 1 << int(np.ceil(np.log2(n_m))))
         q1 = np.zeros((cap, 2))
         q2 = np.zeros((cap, 2))
         v = np.zeros(cap, bool)
-        q1[: len(m)] = _normalize(p1, k)
-        q2[: len(m)] = _normalize(p2, k)
-        v[: len(m)] = True
-        _, inl, cnt = ransac_essential(
+        q1[:n_m] = _normalize(p1, k)
+        q2[:n_m] = _normalize(p2, k)
+        v[:n_m] = True
+        u1 = np.zeros((cap, 2))
+        u2 = np.zeros((cap, 2))
+        u1[:n_m] = p1
+        u2[:n_m] = p2
+
+        # Homography hypothesis (pixel space, 2 px inlier threshold).
+        h_px, h_inl, _ = ransac_homography(
+            jnp.asarray(u1, jnp.float32), jnp.asarray(u2, jnp.float32),
+            jnp.asarray(v), 1024, 2.0 * sigma_px, seed + 7 * i + j,
+        )
+        h_inl = np.asarray(h_inl)[:n_m]
+        proj = np.asarray(_apply_h(jnp.asarray(h_px), jnp.asarray(u1, jnp.float32)))
+        err2_h = ((proj[:n_m] - u2[:n_m]) ** 2).sum(1)
+        # Keep band: 2 sigma by default, decoupled from the RANSAC fit
+        # bands and calibrated against ground truth on the rendered eval
+        # (scripts/sfm_ablate.py): at 2 sigma the verifier cuts ZERO true
+        # matches while removing ~2/3 of the wrong ones; wider bands keep
+        # near-model wrong links whose surviving tracks measurably drag the
+        # 50-frame sweep (6 sigma: ATE 1.3% -> 21%), because removing only
+        # their partners defeats the same-frame-conflict track rejection
+        # that used to delete those poisoned tracks wholesale.
+        keep2 = (keep_sigma * sigma_px) ** 2
+
+        disp = np.median(np.linalg.norm(p2 - p1, axis=1))
+        if disp < 1.5:
+            # Revisited / static viewpoint: E is degenerate by construction,
+            # H is the exact model — skip the E fit and its GRIC.
+            keep = err2_h < keep2
+            if int(keep.sum()) >= min_inl:
+                out[(i, j)] = m[keep]
+            continue
+
+        e, e_inl, _ = ransac_essential(
             jnp.asarray(q1, jnp.float32), jnp.asarray(q2, jnp.float32),
             jnp.asarray(v), 1024, thr, seed + 7 * i + j,
         )
-        inl = np.asarray(inl)[: len(m)]
-        if int(inl.sum()) >= min_inl:
-            out[(i, j)] = m[inl]
+        e_inl = np.asarray(e_inl)[:n_m]
+        # Sampson distance in normalized units -> px^2 via the mean focal.
+        err2_e = np.asarray(
+            _sampson_err2(jnp.asarray(e)[None], jnp.asarray(q1, jnp.float32),
+                          jnp.asarray(q2, jnp.float32))
+        )[0][:n_m] * (f_mean * f_mean)
+
+        lam2 = float(np.log(4.0 * n_m))
+        gric_e = (
+            np.minimum(err2_e / sig2, 2.0 * (4 - 3)).sum()
+            + lam1 * 3 * n_m + lam2 * 5
+        )
+        gric_h = (
+            np.minimum(err2_h / sig2, 2.0 * (4 - 2)).sum()
+            + lam1 * 2 * n_m + lam2 * 8
+        )
+        if stats is not None:
+            stats[(i, j)] = dict(
+                model=("H" if gric_h < gric_e else "E"),
+                gric_e=float(gric_e), gric_h=float(gric_h), n=n_m,
+                e_inl=int(e_inl.sum()), h_inl=int(h_inl.sum()),
+            )
+        # Filter with the UNION of both models' keep bands: each model has
+        # structure it cannot represent (H: off-plane parallax — exactly the
+        # depth signal BA needs; E: planar/rotation-dominant sets when the
+        # epipolar fit is ill-posed), and requiring the winning model alone
+        # measurably collapsed the multi-plane rendered eval (H-only cut the
+        # far/near-plane points of adjacent small-disparity pairs).  A
+        # repeated-texture confusion sits far outside BOTH bands, which is
+        # the thing this verifier exists to remove.
+        keep = (err2_e < keep2) | (err2_h < keep2)
+        if int(keep.sum()) >= min_inl:
+            out[(i, j)] = m[keep]
         # else: drop the pair entirely (no consistent geometry)
     return out
 
@@ -166,11 +240,118 @@ def _ba_pass(
         cxy=jnp.asarray(cxy, jnp.float32),
         fixed_cams=jnp.asarray(fixed),
     )
-    cams_opt, pts_opt, _ = ba_solve(pr, iters)
+    cams_opt, pts_opt, _ = ba_solve(pr, iters, huber_delta=3.0)
     return (
         np.asarray(cams_opt, np.float64),
         list(np.asarray(pts_opt, np.float64)),
     )
+
+
+
+def _register_frame(
+    f, track_obs, track_point, points, poses, registered, uv_of, k, seed,
+) -> bool:
+    """PnP-register frame ``f`` against the current map (consensus-gated).
+
+    Returns False (leaving ``poses``/``registered`` untouched) when the
+    frame has too few 2D-3D candidates or a weak consensus — callers
+    re-queue it and retry after more neighbors register.
+    """
+    cands = []
+    for t, g in enumerate(track_obs):
+        gd = dict(g)
+        if f in gd and track_point[t] >= 0:
+            cands.append((t, gd[f]))
+    if len(cands) < 8:
+        return False
+    cap_f = max(64, 1 << int(np.ceil(np.log2(len(cands)))))
+    X = np.zeros((cap_f, 3))
+    x = np.zeros((cap_f, 2))
+    v = np.zeros(cap_f, bool)
+    for n, (t, feat) in enumerate(cands[:cap_f]):
+        X[n] = points[track_point[t]]
+        x[n] = _normalize(uv_of(f, feat), k)
+        v[n] = True
+    rvec, tvec, inl_f, cnt = ransac_pnp(
+        jnp.asarray(X, jnp.float32), jnp.asarray(x, jnp.float32),
+        jnp.asarray(v), 1024, 8e-3, seed + f,
+    )
+    # Gate on PnP consensus: a frame with essentially no inliers would
+    # seed triangulation and BA with a garbage pose.
+    n_cand = int(np.count_nonzero(v))
+    if int(cnt) < max(6, n_cand // 10):
+        return False
+    poses[f, :3] = np.asarray(rvec, np.float64)
+    poses[f, 3:] = np.asarray(tvec, np.float64)
+    registered.append(f)
+    return True
+
+
+def _triangulate_new(
+    f, track_obs, track_point, points, poses, registered, uv_of, k,
+) -> None:
+    """Triangulate tracks newly observable from freshly-registered ``f``.
+
+    Partner = the max-disparity registered frame, skipping near-zero
+    baselines (a revisited viewpoint pairs almost-identical frames;
+    triangulating them puts garbage points at quasi-infinite depth that
+    survive cheirality).  The 0.75 px floor only skips near-identical
+    viewpoints; a higher floor (4px) measurably starved the 50-frame eval
+    of points (dense sequences triangulate at ~2.4 px/frame disparity).
+    """
+    new = []
+    for t, g in enumerate(track_obs):
+        gd = dict(g)
+        if track_point[t] < 0 and f in gd:
+            best_pf, best_d = -1, 0.0
+            for rf in registered[:-1]:
+                if rf not in gd:
+                    continue
+                d = float(np.linalg.norm(uv_of(rf, gd[rf]) - uv_of(f, gd[f])))
+                if d > best_d:
+                    best_pf, best_d = rf, d
+            if best_pf >= 0 and best_d >= 0.75:
+                new.append((t, best_pf, gd[best_pf], gd[f]))
+    if not new:
+        return
+    cap_n = max(64, 1 << int(np.ceil(np.log2(len(new)))))
+    q1 = np.zeros((cap_n, 2))
+    q2 = np.zeros((cap_n, 2))
+    r1s = np.zeros((cap_n, 3, 3))
+    t1s = np.zeros((cap_n, 3))
+    ids = np.full(cap_n, -1, np.int64)
+    for n, (t, pf, feat_p, feat_f) in enumerate(new[:cap_n]):
+        q1[n] = _normalize(uv_of(pf, feat_p), k)
+        q2[n] = _normalize(uv_of(f, feat_f), k)
+        r1s[n] = np.asarray(rodrigues(jnp.asarray(poses[pf, :3])))
+        t1s[n] = poses[pf, 3:]
+        ids[n] = t
+    rf = np.asarray(rodrigues(jnp.asarray(poses[f, :3])))
+
+    import jax
+
+    xn = np.asarray(
+        jax.vmap(
+            lambda a, b, ra, ta: triangulate(
+                a[None], b[None], ra, ta,
+                jnp.asarray(rf, jnp.float32),
+                jnp.asarray(poses[f, 3:], jnp.float32),
+            )[0]
+        )(
+            jnp.asarray(q1, jnp.float32), jnp.asarray(q2, jnp.float32),
+            jnp.asarray(r1s, jnp.float32), jnp.asarray(t1s, jnp.float32),
+        ),
+        np.float64,
+    )
+    for n in range(cap_n):
+        if ids[n] < 0:
+            continue
+        # Cheirality in both views.
+        xc1 = r1s[n] @ xn[n] + t1s[n]
+        xc2 = rf @ xn[n] + poses[f, 3:]
+        if xc1[2] > 0.05 and xc2[2] > 0.05 and np.isfinite(xn[n]).all():
+            track_point[ids[n]] = len(points)
+            points.append(xn[n])
 
 
 def run_sfm_from_matches(
@@ -181,7 +362,7 @@ def run_sfm_from_matches(
     min_track_len: int = 2,
     seed: int = 0,
     prune_px: float = 3.0,
-    verify_pairs: bool = False,
+    verify_pairs: bool = True,
     windowed_ba_every: int | None = None,
 ) -> SfmResult:
     """Incremental SfM from per-frame keypoint pixels + pairwise matches.
@@ -285,120 +466,48 @@ def run_sfm_from_matches(
 
     # ---- incremental registration ----
     # Register remaining frames most-constrained-first (greedy by current
-    # 2D-3D candidate count).
+    # 2D-3D candidate count).  Frames that fail (too few candidates or weak
+    # PnP consensus) are RE-QUEUED and retried after others register: a
+    # frame attempted before its neighbors exist in the map fails
+    # permanently otherwise, and its own absence then starves ITS neighbors
+    # of candidates — the cascade that silently dropped whole trajectory
+    # tails (measured: sweep-50 end frames unregistered => 23% ATE while
+    # the matches themselves were fine).
     remaining = [f for f in range(n_frames) if f not in registered]
-    while remaining:
-        counts = {}
-        for f in remaining:
-            counts[f] = sum(
-                1 for t, g in enumerate(track_obs)
-                if track_point[t] >= 0 and f in dict(g)
+    retry = True
+    while remaining and retry:
+        retry = False
+        deferred = []
+        while remaining:
+            counts = {}
+            for f in remaining:
+                counts[f] = sum(
+                    1 for t, g in enumerate(track_obs)
+                    if track_point[t] >= 0 and f in dict(g)
+                )
+            f = max(remaining, key=lambda x: counts[x])
+            remaining.remove(f)
+            if not _register_frame(
+                f, track_obs, track_point, points, poses, registered,
+                uv_of, k, seed,
+            ):
+                deferred.append(f)
+                continue
+            retry = True
+            _triangulate_new(
+                f, track_obs, track_point, points, poses, registered, uv_of, k
             )
-        f = max(remaining, key=lambda x: counts[x])
-        remaining.remove(f)
-        cands = []
-        for t, g in enumerate(track_obs):
-            gd = dict(g)
-            if f in gd and track_point[t] >= 0:
-                cands.append((t, gd[f]))
-        if len(cands) < 8:
-            continue
-        cap_f = max(64, 1 << int(np.ceil(np.log2(len(cands)))))
-        X = np.zeros((cap_f, 3))
-        x = np.zeros((cap_f, 2))
-        v = np.zeros(cap_f, bool)
-        for n, (t, feat) in enumerate(cands[:cap_f]):
-            X[n] = points[track_point[t]]
-            x[n] = _normalize(uv_of(f, feat), k)
-            v[n] = True
-        rvec, tvec, inl_f, cnt = ransac_pnp(
-            jnp.asarray(X, jnp.float32), jnp.asarray(x, jnp.float32),
-            jnp.asarray(v), 1024, 8e-3, seed + f,
-        )
-        # Gate on PnP consensus: a frame with essentially no inliers would
-        # seed triangulation and BA with a garbage pose.
-        n_cand = int(np.count_nonzero(v))
-        if int(cnt) < max(6, n_cand // 10):
-            continue
-        poses[f, :3] = np.asarray(rvec, np.float64)
-        poses[f, 3:] = np.asarray(tvec, np.float64)
-        registered.append(f)
-
-        # Triangulate new tracks between f and its best registered partner:
-        # the max-disparity one, skipping near-zero baselines (a revisited
-        # viewpoint pairs almost-identical frames; triangulating them puts
-        # garbage points at quasi-infinite depth that survive cheirality).
-        new = []
-        for t, g in enumerate(track_obs):
-            gd = dict(g)
-            if track_point[t] < 0 and f in gd:
-                best_pf, best_d = -1, 0.0
-                for rf in registered[:-1]:
-                    if rf not in gd:
-                        continue
-                    d = float(np.linalg.norm(uv_of(rf, gd[rf]) - uv_of(f, gd[f])))
-                    if d > best_d:
-                        best_pf, best_d = rf, d
-                # Floor only skips near-identical viewpoints; a higher floor
-                # (4px) measurably starved the 50-frame eval of points
-                # (dense sequences triangulate at ~2.4px/frame disparity).
-                if best_pf >= 0 and best_d >= 0.75:
-                    new.append((t, best_pf, gd[best_pf], gd[f]))
-        if new:
-            cap_n = max(64, 1 << int(np.ceil(np.log2(len(new)))))
-            q1 = np.zeros((cap_n, 2))
-            q2 = np.zeros((cap_n, 2))
-            r1s = np.zeros((cap_n, 3, 3))
-            t1s = np.zeros((cap_n, 3))
-            ids = np.full(cap_n, -1, np.int64)
-            for n, (t, pf, feat_p, feat_f) in enumerate(new[:cap_n]):
-                q1[n] = _normalize(uv_of(pf, feat_p), k)
-                q2[n] = _normalize(uv_of(f, feat_f), k)
-                r1s[n] = np.asarray(rodrigues(jnp.asarray(poses[pf, :3])))
-                t1s[n] = poses[pf, 3:]
-                ids[n] = t
-            rf = np.asarray(rodrigues(jnp.asarray(poses[f, :3])))
-
-            import jax
-
-            xn = np.asarray(
-                jax.vmap(
-                    lambda a, b, ra, ta: triangulate(
-                        a[None], b[None], ra, ta,
-                        jnp.asarray(rf, jnp.float32), jnp.asarray(poses[f, 3:], jnp.float32),
-                    )[0]
-                )(
-                    jnp.asarray(q1, jnp.float32), jnp.asarray(q2, jnp.float32),
-                    jnp.asarray(r1s, jnp.float32), jnp.asarray(t1s, jnp.float32),
-                ),
-                np.float64,
-            )
-            for n in range(cap_n):
-                if ids[n] < 0:
-                    continue
-                # Cheirality in both views.
-                xc1 = r1s[n] @ xn[n] + t1s[n]
-                xc2 = rf @ xn[n] + poses[f, 3:]
-                if xc1[2] > 0.05 and xc2[2] > 0.05 and np.isfinite(xn[n]).all():
-                    track_point[ids[n]] = len(points)
-                    points.append(xn[n])
-
-        # Optional intermediate BA (opt-in): on short sequences it measurably
-        # helps (16-frame sweep ATE 0.94% -> 0.80%), but on long
-        # tiny-baseline sequences it collapses the reconstruction (50-frame
-        # sweep 7% -> 28-29% across trigger schedules) — the early solves
-        # move ill-conditioned cameras into bad basins that registration
-        # gating then cements.  Default off until a conditioning-aware
-        # trigger exists.
-        if (
-            windowed_ba_every
-            and len(registered) % windowed_ba_every == 0
-            and len(points) >= 8
-        ):
-            poses, points = _ba_pass(
-                n_frames, poses, points, track_obs, track_point, registered,
-                fa, fb, fxy, cxy, uv_of, max(ba_iters // 3, 5),
-            )
+            if (
+                windowed_ba_every
+                and len(registered) % windowed_ba_every == 0
+                and len(points) >= 8
+            ):
+                poses, points = _ba_pass(
+                    n_frames, poses, points, track_obs, track_point,
+                    registered, fa, fb, fxy, cxy, uv_of,
+                    max(ba_iters // 3, 5),
+                )
+        remaining = deferred
 
     # ---- global bundle adjustment ----
     pts = np.asarray(points) if points else np.zeros((0, 3))
@@ -434,7 +543,12 @@ def run_sfm_from_matches(
             cxy=jnp.asarray(cxy, jnp.float32),
             fixed_cams=jnp.asarray(fixed),
         )
-        cams_opt, pts_opt, ba_info = ba_solve(pr, ba_iters)
+        # Huber delta = the prune threshold: outliers beyond it get
+        # linear weight instead of dragging the L2 solve into a wrong
+        # minimum (measured: loop-15 ATE 15.5% -> <1% of path).
+        cams_opt, pts_opt, ba_info = ba_solve(
+            pr, ba_iters, huber_delta=float(prune_px)
+        )
 
         # Outlier pruning + re-BA: mask observations whose reprojection error
         # after the first solve exceeds ``prune_px``, then re-optimize.  This
@@ -453,7 +567,9 @@ def run_sfm_from_matches(
                 points=pts_opt,
                 obs_mask=jnp.asarray(keep),
             )
-            cams_opt, pts_opt, ba_info2 = ba_solve(pr, max(ba_iters // 2, 5))
+            cams_opt, pts_opt, ba_info2 = ba_solve(
+                pr, max(ba_iters // 2, 5), huber_delta=float(prune_px)
+            )
             info["ba_reprune"] = ba_info2
 
         poses = np.asarray(cams_opt, np.float64)
