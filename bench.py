@@ -127,6 +127,92 @@ def main() -> None:
     med_fps = B / statistics.median(per_sweep)
     best_fps = B / min(per_sweep)
 
+    # Streaming mode: JPEG decode (threaded C++ loader) + H2D INSIDE the
+    # timed window — the end-to-end disk->matches figure the device-resident
+    # number omits.  Decoder threads run ahead of the device, so with enough
+    # threads the published gap is pipeline fill, not decode rate.
+    stream = {}
+    if os.environ.get("BENCH_STREAM", "1") != "0":
+        try:
+            from sift_tpu.utils import native
+
+            if not native.available():
+                raise RuntimeError("native loader not built (make native)")
+            import pathlib
+
+            scene = pathlib.Path(cave)
+            paths = sorted(str(p) for p in scene.glob("*.jpg"))
+            if not paths:
+                raise RuntimeError("no scene files")
+            # The streaming sweep covers EVERY scene frame, some busier than
+            # the tuned pair (measured max 6486 extrema on CAVE-01), so it
+            # runs with scene-sized capacities; the honesty scan below
+            # asserts them against the whole corpus.
+            import dataclasses as _dc
+
+            cfg_s = _dc.replace(
+                cfg, extrema_cap=8192, kp_cap=2048, ori_cap=3072
+            )
+
+            def run_stream(k_sweeps):
+                seq = [
+                    paths[(s * B + i) % len(paths)]
+                    for s in range(k_sweeps) for i in range(B)
+                ]
+                loader = native.ImageLoader(seq, n_threads=8)
+                out = None
+                for _ in range(k_sweeps):
+                    frames = [next(loader) for _ in range(B)]
+                    # Ship u8 and convert on device: JPEG pixels are
+                    # integral, and the axon tunnel's H2D bandwidth (not
+                    # decode or compute) is this mode's bottleneck — f32
+                    # transfers cost 4x the bytes for nothing.
+                    dev = jnp.asarray(np.stack(frames).astype(np.uint8))
+                    kp_s = detect_and_describe_batch(dev, cfg_s)
+                    _, out, _, _ = matcher(
+                        kp_s.desc[0::2], kp_s.valid[0::2],
+                        kp_s.desc[1::2], kp_s.valid[1::2],
+                        cfg.ratio_threshold,
+                    )
+                loader.close()
+                return out
+
+            # Honesty: the whole scene must fit the bench capacities (the
+            # streaming sweep covers every frame, not just the tuned pair).
+            all_imgs = [np.asarray(jnpf) for jnpf in
+                        native.ImageLoader(paths, n_threads=8)]
+            while len(all_imgs) % B:  # pad so the scan covers every frame
+                all_imgs.append(all_imgs[0])
+            for lo in range(0, len(all_imgs), B):
+                _, cts = detect_and_describe_batch(
+                    jnp.asarray(np.stack(all_imgs[lo:lo + B])), cfg_s,
+                    return_counts=True,
+                )
+                for name, cap in (("extrema", cfg_s.extrema_cap),
+                                  ("refined", cfg_s.kp_cap),
+                                  ("oriented", cfg_s.ori_cap)):
+                    mx = int(np.asarray(cts[name]).max())
+                    assert mx <= cap, (
+                        f"stream {name} overflow: {mx} > {cap} "
+                        f"(frames {lo}..{lo+B})"
+                    )
+            del all_imgs
+            fence(run_stream(1))  # warmup/compile the scene-cap programs
+            ks, rs = 6, 3
+            per = []
+            for _ in range(rs):
+                t0 = time.perf_counter()
+                out = run_stream(ks)
+                fence(out)
+                per.append((time.perf_counter() - t0) / ks)
+            stream = {
+                "stream_fps": round(B / statistics.median(per), 3),
+                "stream_method": f"JPEG decode + H2D in-window, {ks} sweeps "
+                                 f"x {rs}, threaded native loader",
+            }
+        except Exception as e:  # pragma: no cover - report, don't fail bench
+            stream = {"stream_error": str(e)[:200]}
+
     print(
         json.dumps(
             {
@@ -138,6 +224,7 @@ def main() -> None:
                 "batch": B,
                 "method": f"amortized over {K} enqueued sweeps, D2H-fenced, "
                           f"median of {R}",
+                **stream,
             }
         )
     )

@@ -103,14 +103,23 @@ def main() -> None:
 
     # --- stage-by-stage (mirrors the fused detect_and_describe_batch) ---
     if S._use_front(cfg):
-        gaussians, dogs, masks, fcounts = add(
-            "front (pyramids+mask+counts)",
-            lambda: S._jit_front_batch(imgs, cfg, octaves),
+        mr, dmr, masks, fcounts = add(
+            "front-twin (pyramids+mask+twin rows)",
+            lambda: S._jit_front_twin_batch(imgs, cfg, octaves),
         )
         kp0, _off0, counts = add(
-            "detect+refine (counts-assisted)",
-            lambda: S._jit_detect_refine_counts(dogs, masks, fcounts, cfg),
+            "detect+refine (counts, twin DoG)",
+            lambda: S._jit_detect_refine_counts_mr(masks, fcounts, dmr, cfg),
         )
+        # round-3 path for comparison ("alt" rows, excluded from total)
+        gaussians, dogs, masks3, fcounts3 = add(
+            "alt front r3 (plain stacks)",
+            lambda: S._jit_front_batch(imgs, cfg, octaves),
+        )
+        add("alt detect+refine r3 (relayouts DoG)",
+            lambda: S._jit_detect_refine_counts(dogs, masks3, fcounts3, cfg))
+        add("alt gauss MultiRows relayout r3",
+            lambda: S._jit_gauss_rows_batch(gaussians))
     else:
         gaussians, dogs = add(
             "pyramids (init+gauss+dog)",
@@ -120,7 +129,8 @@ def main() -> None:
             "detect+refine (all octaves)",
             lambda: S._jit_detect_refine_batch(dogs, cfg),
         )
-    mr = add("gauss MultiRows relayout", lambda: S._jit_gauss_rows_batch(gaussians))
+        mr = add("gauss MultiRows relayout",
+                 lambda: S._jit_gauss_rows_batch(gaussians))
     cand, _n = add(
         "orientation (all octaves)", lambda: S._jit_orient_batch(mr, kp0, cfg)
     )
@@ -128,6 +138,12 @@ def main() -> None:
         "dedup (sort+unique) + compact",
         lambda: S._jit_dedup_compact_batch(cand, cfg.ori_cap),
     )
+    from sift_tpu.utils import keypoints as kputil
+
+    dedup_r3 = jax.jit(jax.vmap(
+        lambda c: kputil.compact(kputil.sort_and_dedup(c), cfg.ori_cap)
+    ))
+    add("alt dedup r3 (lexsort+gathers)", lambda: dedup_r3(cand))
     desc_all = add(
         "descriptors (all octaves)",
         lambda: S._jit_desc_all_batch(mr, allkp, cfg),

@@ -29,9 +29,115 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def _tpu_f32_sweep(args, cfg) -> None:
+    """On-chip production-path sweep: f32 fused pipeline vs the oracle.
+
+    Frames: keypoint count + bijective-coordinate coverage vs the oracle
+    set.  Edges: the Lowe match set compared to the oracle's as a matched-
+    coordinate MULTISET (the dryrun's comparison; pori is not part of the
+    quadruple, so multi-orientation keypoints legitimately tie).
+    """
+    import glob as _glob
+    import json as _json
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _coord_multiset_match, _oracle_match_pairs
+    from sift_tpu import match_descriptors
+    from sift_tpu.models.sift import detect_and_describe_batch
+    from sift_tpu.utils.stitch_graph import parse_stitch_graph
+
+    dumps = sorted(_glob.glob(os.path.join(args.scene_oracle, "*.npz")))
+    if args.limit:
+        dumps = dumps[: args.limit]
+    oracle = {}
+    frames = {}
+    order = []
+    for path in dumps:
+        frame = int(os.path.basename(path).split("_")[-1].split(".")[0])
+        d = dict(np.load(path))
+        oracle[frame] = d
+        frames[frame] = d["input"].astype(np.float32)
+        order.append(frame)
+
+    # Batched detection through the production pipeline (persistent cache).
+    kps = {}
+    bs = 8
+    frames_ok = 0
+    for lo in range(0, len(order), bs):
+        chunk = order[lo:lo + bs]
+        pad = chunk + [chunk[-1]] * (bs - len(chunk))
+        imgs = jnp.asarray(np.stack([frames[f] for f in pad]))
+        kp = detect_and_describe_batch(imgs, cfg)
+        for n, f in enumerate(chunk):
+            kps[f] = jax.tree_util.tree_map(lambda a, n=n: a[n], kp)
+
+    for f in order:
+        kp = kps[f]
+        v = np.asarray(kp.valid)
+        mine = np.stack(
+            [np.asarray(kp.x)[v], np.asarray(kp.y)[v]], axis=1
+        ).astype(np.float64)
+        ref = np.stack(
+            [oracle[f]["final.x"], oracle[f]["final.y"]], axis=1
+        )
+        # coverage: every oracle keypoint has a mine within 5e-2 px
+        d = np.abs(mine[:, None, :] - ref[None, :, :]).max(-1)
+        cov = float((d.min(0) <= 5e-2).mean()) if len(mine) else 0.0
+        ok = bool(cov == 1.0 and abs(len(mine) - len(ref)) <= 2)
+        frames_ok += ok
+        print(_json.dumps(dict(
+            frame=f, keypoints=len(ref), mine=int(len(mine)),
+            oracle_coverage=round(cov, 4), ok=ok,
+        )), flush=True)
+
+    graph = parse_stitch_graph(args.graph)
+    edges_ok = 0
+    edges_total = 0
+    for (i, j) in graph.edges:
+        if i not in kps or j not in kps:
+            continue
+        edges_total += 1
+        kpa, kpb = kps[i], kps[j]
+        idx, acc, _, _ = match_descriptors(
+            kpa.desc, kpa.valid, kpb.desc, kpb.valid, cfg.ratio_threshold
+        )
+        acc = np.asarray(acc)
+        idx = np.asarray(idx)
+        rows = np.nonzero(acc & np.asarray(kpa.valid))[0]
+        mine = np.stack(
+            [np.asarray(kpa.x)[rows], np.asarray(kpa.y)[rows],
+             np.asarray(kpb.x)[idx[rows]], np.asarray(kpb.y)[idx[rows]]],
+            axis=1,
+        ).astype(np.float64)
+        ref_pairs = _oracle_match_pairs(oracle[i], oracle[j])
+        ok = bool(
+            len(mine) == len(ref_pairs)
+            and _coord_multiset_match(mine, ref_pairs, tol=5e-2)
+        )
+        edges_ok += ok
+        print(_json.dumps(dict(
+            edge=[i, j], matches=int(len(mine)),
+            ref_matches=int(len(ref_pairs)), set_exact=ok,
+        )), flush=True)
+
+    print(_json.dumps(dict(
+        summary=True, profile="f32-tpu-production", frames=len(dumps),
+        frames_ok=frames_ok, edges=edges_total, edges_ok=edges_ok,
+    )))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--limit", type=int, default=0, help="first N frames only")
+    ap.add_argument(
+        "--tpu-f32", action="store_true",
+        help="run the f32 TPU PRODUCTION path (fused twin front, window "
+        "dispatch, bench capacities) instead of the f64 CPU parity profile; "
+        "match sets are compared to the oracle's as coordinate multisets "
+        "(f32 coords wiggle ~1e-3 px vs the C++ f64 dump)",
+    )
     ap.add_argument(
         "--scene-oracle",
         default=os.path.join(
@@ -50,12 +156,15 @@ def main() -> None:
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_enable_x64", True)
-    os.environ.setdefault(
-        "XLA_FLAGS", "--xla_disable_hlo_passes=fusion"
-    )
-    cache = "/root/.cache/jax_test_cache"
+    if args.tpu_f32:
+        cache = "/root/.cache/jax_tpu_cache"
+    else:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+        os.environ.setdefault(
+            "XLA_FLAGS", "--xla_disable_hlo_passes=fusion"
+        )
+        cache = "/root/.cache/jax_test_cache"
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -66,6 +175,11 @@ def main() -> None:
     from sift_tpu.models.sift import detect_stages
     from sift_tpu.utils.stitch_graph import parse_stitch_graph
 
+    if args.tpu_f32:
+        # The exact bench.py configuration: the production throughput path.
+        cfg = SiftConfig(dtype=jnp.float32, extrema_cap=6144, kp_cap=1536,
+                         ori_cap=2048)
+        return _tpu_f32_sweep(args, cfg)
     cfg = SiftConfig(dtype=jnp.float64)
     dumps = sorted(glob.glob(os.path.join(args.scene_oracle, "*.npz")))
     if args.limit:
