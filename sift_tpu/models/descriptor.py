@@ -34,8 +34,15 @@ from sift_tpu.config import (
     SiftConfig,
 )
 from sift_tpu.models.orient import max_size_octave
-from sift_tpu.ops.gather import MultiRows, build_multi_rows, gather_patches_multi, lut
-from sift_tpu.ops.pallas_desc import desc_hist_pallas
+from sift_tpu.ops.gather import (
+    MultiRows,
+    build_multi_rows,
+    gather_patch_band,
+    gather_patches_multi,
+    lut,
+    with_row_units,
+)
+from sift_tpu.ops.pallas_desc import desc_hist_band_pallas
 from sift_tpu.utils.keypoints import Keypoints
 from sift_tpu.utils.numerics import round_half_away
 
@@ -94,6 +101,7 @@ def compute_descriptors_all(
     use_pallas = bool(use_pallas) and dispatch_radius
     interpret = jax.default_backend() != "tpu"
     dtype = kp.x.dtype
+    mr = with_row_units(mr)  # loop-invariant unit-gather view
     octaves = n_octaves or len(mr.shapes)
     r_max = desc_radius_bound(cfg)
     n = kp.capacity
@@ -147,25 +155,30 @@ def compute_descriptors_all(
         def desc_chunk(args):
             osel, lay, yy, xx, xo, yo, rad, hw, ca, sa, pori, wl, hl, vmask = args
             nc = lay.shape[0]
-            patches = gather_patches_multi(
-                mr, osel, lay, yy - r - 1, xx - r - 1, p
-            )
             if use_pallas:
+                # Band path: raw gathered rows + in-kernel offsets — no
+                # extraction matmuls, no patch materialization.
+                band, oxb, oyb = gather_patch_band(
+                    mr, osel, lay, yy - r - 1, xx - r - 1, p
+                )
                 inv_hw = 1.0 / hw
                 coef = inv_hw * inv_hw / exp_denom
                 zf = jnp.zeros_like(ca)
                 flt = jnp.stack(
                     [ca, sa, pori, inv_hw, coef, zf, zf, zf], axis=1
                 )
-                zi = jnp.zeros_like(xo)
                 ints = jnp.stack(
-                    [xo, yo, rad, wl, hl, vmask.astype(jnp.int32), zi, zi],
+                    [xo, yo, rad, wl, hl, vmask.astype(jnp.int32),
+                     oxb + r + 1, oyb + r + 1],
                     axis=1,
                 )
-                hist = desc_hist_pallas(
-                    patches, flt, ints, r, bins_per_rad, interpret=interpret
+                hist = desc_hist_band_pallas(
+                    band, flt, ints, bins_per_rad, interpret=interpret
                 )
                 return _hist_to_desc(hist)
+            patches = gather_patches_multi(
+                mr, osel, lay, yy - r - 1, xx - r - 1, p
+            )
 
             dx = patches[:, 1:-1, 2:] - patches[:, 1:-1, :-2]
             dy = patches[:, :-2, 1:-1] - patches[:, 2:, 1:-1]

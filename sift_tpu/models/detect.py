@@ -28,8 +28,10 @@ from sift_tpu.ops.gather import (
     build_block_rows,
     build_multi_rows,
     compact_mask,
+    CubeRows,
     gather_cubes,
     gather_cubes_multi,
+    gather_cubes_packed,
     lut,
 )
 from sift_tpu.utils.keypoints import Keypoints
@@ -535,8 +537,12 @@ def refine_keypoints_all(
     w_tbl = [s[2] for s in shapes]
     n_oct = len(shapes)
 
-    def cube(oid):
-        return lambda pos: xdiv(gather_cubes_multi(mr, oid, pos), 255.0)
+    if isinstance(mr, CubeRows):
+        def cube(oid):
+            return lambda pos: xdiv(gather_cubes_packed(mr, oid, pos), 255.0)
+    else:
+        def cube(oid):
+            return lambda pos: xdiv(gather_cubes_multi(mr, oid, pos), 255.0)
 
     def fields(st):
         return jnp.stack(

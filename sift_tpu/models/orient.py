@@ -27,8 +27,15 @@ import jax
 import jax.numpy as jnp
 
 from sift_tpu.config import M_PI2, ORI_SMOOTH_ITERATIONS, SiftConfig
-from sift_tpu.ops.gather import MultiRows, build_multi_rows, gather_patches_multi, lut
-from sift_tpu.ops.pallas_desc import ori_hist_pallas
+from sift_tpu.ops.gather import (
+    MultiRows,
+    build_multi_rows,
+    gather_patch_band,
+    gather_patches_multi,
+    lut,
+    with_row_units,
+)
+from sift_tpu.ops.pallas_desc import ori_hist_band_pallas
 from sift_tpu.utils.keypoints import Keypoints
 from sift_tpu.utils.numerics import round_half_away
 
@@ -79,6 +86,7 @@ def orient_all(
     use_pallas = bool(use_pallas) and dispatch_radius
     interpret = jax.default_backend() != "tpu"
     dtype = kp.x.dtype
+    mr = with_row_units(mr)  # loop-invariant unit-gather view
     n = kp.capacity
     nb = cfg.num_bins
     octaves = n_octaves or len(mr.shapes)
@@ -111,21 +119,24 @@ def orient_all(
 
         def hist_chunk(args):
             osel, lay, yy, xx, xo, yo, rad, edenom, wl, hl, vmask = args
-            patches = gather_patches_multi(
-                mr, osel, lay, yy - r - 1, xx - r - 1, p
-            )
             if use_pallas:
+                band, oxb, oyb = gather_patch_band(
+                    mr, osel, lay, yy - r - 1, xx - r - 1, p
+                )
                 inv_ed = 1.0 / edenom
                 zf = jnp.zeros_like(inv_ed)
                 flt = jnp.stack([inv_ed] + [zf] * 7, axis=1)
-                zi = jnp.zeros_like(xo)
                 ints = jnp.stack(
-                    [xo, yo, rad, wl, hl, vmask.astype(jnp.int32), zi, zi],
+                    [xo, yo, rad, wl, hl, vmask.astype(jnp.int32),
+                     oxb + r + 1, oyb + r + 1],
                     axis=1,
                 )
-                return ori_hist_pallas(
-                    patches, flt, ints, r, nb, interpret=interpret
+                return ori_hist_band_pallas(
+                    band, flt, ints, nb, interpret=interpret
                 )
+            patches = gather_patches_multi(
+                mr, osel, lay, yy - r - 1, xx - r - 1, p
+            )
             dx = patches[:, 1:-1, 2:] - patches[:, 1:-1, :-2]
             dy = patches[:, :-2, 1:-1] - patches[:, 2:, 1:-1]
             magnitude = jnp.sqrt(dx * dx + dy * dy)

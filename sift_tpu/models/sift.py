@@ -139,8 +139,8 @@ def _front_twin_plan(cfg: SiftConfig, octaves: int, h1: int, w1: int):
     """Static per-octave plan for the twin-front gather buffers.
 
     (h1, w1): initial (post-doubling) image dims.  Returns
-    (plan, g_total, d_total, half_kernels, g_l0, g_nl, n, blk) where each
-    plan entry is (h, w, st, fits, nbt, gbase, dbase).
+    (plan, g_total, half_kernels, g_l0, g_nl, n, blk) where each
+    plan entry is (h, w, st, fits, nbt, gbase).
     """
     from sift_tpu.config import gaussian_half_kernel
     from sift_tpu.models.detect import _REFINE_BLK
@@ -151,7 +151,7 @@ def _front_twin_plan(cfg: SiftConfig, octaves: int, h1: int, w1: int):
     g_l0, g_nl = 1, n - 2  # stored gauss layers [1, intervals]
     blk = _REFINE_BLK
     plan = []
-    gacc = dacc = 0
+    gacc = 0
     h, w = h1, w1
     for _ in range(octaves):
         nbt = -(-w // blk)
@@ -161,14 +161,12 @@ def _front_twin_plan(cfg: SiftConfig, octaves: int, h1: int, w1: int):
             hp2 = 1 << max(h - 1, 7).bit_length()
             st = min(128, max(32, hp2))
         nstrips = -(-h // st)
-        g_unit, d_unit = g_nl * nbt * st, n * nbt * st
+        g_unit = g_nl * nbt * st
         gacc = -(-gacc // g_unit) * g_unit
-        dacc = -(-dacc // d_unit) * d_unit
-        plan.append((h, w, st, fits, nbt, gacc, dacc))
+        plan.append((h, w, st, fits, nbt, gacc))
         gacc += nstrips * g_unit
-        dacc += nstrips * d_unit
         h, w = h // 2, w // 2
-    return plan, gacc, dacc, hks, g_l0, g_nl, n, blk
+    return plan, gacc, hks, g_l0, g_nl, n, blk
 
 
 @partial(jax.jit, static_argnums=(1, 2))
@@ -184,7 +182,7 @@ def _jit_front_twin_batch(imgs, cfg: SiftConfig, octaves: int):
     Returns (gauss MultiRows, dog MultiRows, masks, counts).
     """
     from sift_tpu.models.detect import octave_front_xla
-    from sift_tpu.ops.gather import MultiRows
+    from sift_tpu.ops.gather import CubeRows, MultiRows, cube_rows_params
     from sift_tpu.ops.pallas_pyramid import (
         fused_octave_front_twin,
         twin_strided_xla,
@@ -193,16 +191,15 @@ def _jit_front_twin_batch(imgs, cfg: SiftConfig, octaves: int):
     thr = cfg.extremum_threshold()
     img = compute_initial_image(imgs, cfg)
     b, h1, w1 = img.shape
-    plan, g_total, d_total, hks, g_l0, g_nl, n, blk = _front_twin_plan(
+    plan, g_total, hks, g_l0, g_nl, n, blk = _front_twin_plan(
         cfg, octaves, h1, w1
     )
     gbuf = jnp.zeros((b, g_total, 2 * blk), cfg.dtype)
-    dbuf = jnp.zeros((b, d_total, 2 * blk), cfg.dtype)
-    masks, counts = [], []
-    for h, w, st, fits, nbt, gbase, dbase in plan:
+    masks, counts, dogs_all = [], [], []
+    for h, w, st, fits, nbt, gbase in plan:
         if fits:
-            gbuf, dbuf, m, c, down = fused_octave_front_twin(
-                img, hks, thr, gbuf, dbuf, gbase, dbase, st, blk, g_l0, g_nl
+            gbuf, d, m, c, down = fused_octave_front_twin(
+                img, hks, thr, gbuf, gbase, st, blk, g_l0, g_nl
             )
             wpm = -(-w // 128) * 128
             if wpm > w:  # lane-pad to whole 128-blocks (small octaves only)
@@ -210,12 +207,11 @@ def _jit_front_twin_batch(imgs, cfg: SiftConfig, octaves: int):
         else:
             g, d, m, c = octave_front_xla(img, hks, thr, cfg.window_size)
             gt = twin_strided_xla(g, blk, st, g_l0, g_nl)
-            dt = twin_strided_xla(d, blk, st, 0, n)
             gbuf = jax.lax.dynamic_update_slice(gbuf, gt, (0, gbase, 0))
-            dbuf = jax.lax.dynamic_update_slice(dbuf, dt, (0, dbase, 0))
             down = g[:, g.shape[1] - 3]
         masks.append(m)
         counts.append(c)
+        dogs_all.append(d)
         img = downsample_nearest_x2(down)
     shp = tuple(p[2].bit_length() - 1 for p in plan)
     gmr = MultiRows(
@@ -228,14 +224,26 @@ def _jit_front_twin_batch(imgs, cfg: SiftConfig, octaves: int):
         shp=shp,
         nls=(g_nl,) * octaves,
     )
-    dmr = MultiRows(
-        rows=dbuf,
+    # Cube-packed DoG rows: 3 row gathers per Newton cube instead of 9
+    # (gather.CubeRows) — and ~45% smaller than the old DoG twin rows.
+    from sift_tpu.ops.pallas_relayout import cube_pack_rows
+
+    crows, cbases, cnbps = [], [], []
+    acc = 0
+    for d in dogs_all:
+        stride, sw, nbp = cube_rows_params(n, d.shape[-1])
+        r = cube_pack_rows(d)
+        cbases.append(acc)
+        cnbps.append(nbp)
+        acc += r.shape[1]
+        crows.append(r)
+    dmr = CubeRows(
+        rows=jnp.concatenate(crows, axis=1),
         shapes=tuple((n, p[0], p[1]) for p in plan),
-        blk=blk,
-        nbs=tuple(p[4] for p in plan),
-        bases=tuple(p[6] for p in plan),
-        shp=shp,
-        nls=(n,) * octaves,
+        nbps=tuple(cnbps),
+        bases=tuple(cbases),
+        stride=stride,
+        sw=sw,
     )
     return gmr, dmr, masks, counts
 

@@ -220,6 +220,13 @@ class MultiRows:
     nls: tuple | None = dataclasses.field(
         default=None, metadata=dict(static=True)
     )
+    # Optional u-row-unit view of ``rows`` (same bytes, (R // unit,
+    # unit * 2 * blk) shape) for the unit-gather fast path.  MUST be
+    # materialized OUTSIDE any chunk loop (see with_row_units): the
+    # (R, 2blk) -> (R/u, u*2blk) reshape is a tiled-layout copy of the
+    # whole pyramid, so building it per chunk would dominate the stage.
+    rows_u: jnp.ndarray | None = None
+    unit: int = dataclasses.field(default=1, metadata=dict(static=True))
 
 
 def build_multi_rows(
@@ -307,6 +314,147 @@ def gather_cubes_multi(
     return extract_cols(g, ox, 3).reshape(-1, 3, 3, 3)
 
 
+def with_row_units(mr: MultiRows, cap: int = 8) -> MultiRows:
+    """Attach the u-row-unit view for unit gathers (strip-major layout only).
+
+    Call ONCE per stage, before any lax.map/scan chunk loop, so the reshape
+    (a full-buffer tiled-layout copy, ~1 ms for a 16-frame pyramid) is
+    loop-invariant.  No-op when the layout has no usable unit (u < 4).
+    """
+    u = row_unit_size(mr, cap)
+    if u < 4 or mr.rows_u is not None:
+        return mr
+    return dataclasses.replace(
+        mr, rows_u=mr.rows.reshape(-1, u * mr.rows.shape[1]), unit=u
+    )
+
+
+def row_unit_size(mr: MultiRows, cap: int = 8) -> int:
+    """Largest power-of-two u <= cap such that u consecutive image rows are
+    one contiguous HBM run for EVERY volume (strip-major twin layout only:
+    u must divide each volume's strip 1 << ls; row-major layouts stride by
+    nb between rows, so u = 1)."""
+    if mr.nls is None:
+        return 1
+    u = cap
+    for ls in mr.shp:
+        u = min(u, 1 << ls)
+    return u
+
+
+def _gather_patch_units(
+    mr: MultiRows,
+    oct_id: jnp.ndarray,
+    layer: jnp.ndarray,
+    ys0: jnp.ndarray,
+    xs0: jnp.ndarray,
+    patch: int,
+    u: int,
+):
+    """Patch gather in aligned u-row UNITS (strip-major twin layout).
+
+    The per-row gather moves 2*blk*4 = 512-byte rows, which is descriptor-
+    bound on TPU (measured ~6% of HBM bandwidth).  In the strip-major layout
+    rows of one (strip, layer, block) group are contiguous, so aligned units
+    of u image rows are one 512*u-byte run; gathering units moves u x fewer,
+    u x larger transfers.  Returns ``(g, ox, row_idx)``: ``g`` is
+    (N, U*u, L) raw twin rows (L = 2*blk, or 4*blk stitched on the wide
+    path), the window's row j lives at band row ``row_idx[n, j]`` (CLAMPED
+    to the image exactly like the per-row path, so extraction reproduces it
+    bit-for-bit), column c at lane ``ox + c``.
+
+    Unit alignment: unit a covers image rows [a*u, a*u + u).  Its first flat
+    row index is ((stuff << ls) + (a*u & (st-1))) + base — every term is a
+    multiple of u (u | st = 1 << ls; per-volume row counts are multiples of
+    st, so bases are too), so units are rows of mr.rows.reshape(R//u, ...).
+    """
+    h = lut([s[1] for s in mr.shapes], oct_id, jnp.int32)
+    nb = lut(mr.nbs, oct_id, jnp.int32)
+    base = lut(mr.bases, oct_id, jnp.int32)
+    ls = lut(mr.shp, oct_id, jnp.int32)
+    nl = lut(mr.nls, oct_id, jnp.int32)
+    b = jnp.clip(xs0 // mr.blk, 0, nb - 1)
+    ox = xs0 - b * mr.blk
+    n_units = patch // u + 2
+    a0 = jnp.clip(ys0, 0, h - 1) // u
+    # Clamped band-row index of window row j: the clamp lands inside the
+    # band (a0*u <= clip(ys0, 0, h-1) and the band covers the whole clamped
+    # window), so extraction below reproduces the per-row path's row clamp
+    # bit-for-bit.
+    row_idx = (
+        jnp.clip(ys0[:, None] + jnp.arange(patch)[None, :], 0, h[:, None] - 1)
+        - (a0 * u)[:, None]
+    )
+    yy = (a0[:, None] + jnp.arange(n_units)[None, :]) * u  # (N, U) unit rows
+    lsc = ls[:, None]
+    ridx = base[:, None] + (
+        (((yy >> lsc) * nl[:, None] + layer[:, None]) * nb[:, None]
+         + b[:, None]) << lsc
+    ) + (yy & ((1 << lsc) - 1))
+    uidx = ridx // u  # exact: ridx is u-aligned (see docstring)
+    rows_u = mr.rows_u
+    if patch <= mr.blk + 1:
+        g = rows_u[uidx.reshape(-1)].reshape(-1, n_units * u, 2 * mr.blk)
+        return g, ox, row_idx
+    assert patch <= 3 * mr.blk + 1, (patch, mr.blk)
+    blk_step = 1 << ls
+    ok2 = b + 2 <= nb - 1
+    uidx2 = uidx + ((2 * blk_step // u) * ok2.astype(jnp.int32))[:, None]
+    pair = jnp.stack([uidx, uidx2], axis=-1)  # (N, U, 2)
+    g = rows_u[pair.reshape(-1)].reshape(-1, n_units, 2, u, 2 * mr.blk)
+    keep = ok2[:, None, None, None, None] | (
+        jnp.arange(2)[None, None, :, None, None] == 0
+    )
+    # Per-row twin stitch: band row r = [unit copy 1 row r | copy 2 row r].
+    g = jnp.where(keep, g, 0).transpose(0, 1, 3, 2, 4)
+    return g.reshape(-1, n_units * u, 4 * mr.blk), ox, row_idx
+
+
+def extract_rows(g: jnp.ndarray, row_idx: jnp.ndarray) -> jnp.ndarray:
+    """out[n, j, l] = g[n, row_idx[n, j], l] (one-hot MXU contraction,
+    HIGHEST keeps the 1.0-multiplies exact in f32 — extract_cols for rows;
+    indices outside [0, R) read 0)."""
+    rr = jnp.arange(g.shape[1], dtype=jnp.int32)
+    oh = (row_idx[:, :, None] == rr[None, None, :]).astype(g.dtype)
+    return jnp.einsum(
+        "njr,nrl->njl", oh, g, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def gather_patch_band(
+    mr: MultiRows,
+    oct_id: jnp.ndarray,
+    layer: jnp.ndarray,
+    ys0: jnp.ndarray,
+    xs0: jnp.ndarray,
+    patch: int,
+):
+    """Raw row BAND covering each lane's patch window, for band consumers
+    (the Pallas rows kernels) that apply row/column offsets themselves.
+
+    Returns ``(g, ox, oy)``: window row j of lane n is band row ``oy[n]+j``
+    of ``g[n]`` (may fall outside the band at image edges — those samples
+    are out-of-image and consumers mask them by true image coordinates),
+    window column c is lane ``ox[n] + c``; lane l of a band row holds image
+    column ``xs0 - ox + l``.  Uses the u-row unit fast path when
+    ``mr.rows_u`` is attached (band height = u * (patch // u + 2)), else the
+    per-row gather (band height = patch, oy = 0).
+    """
+    if mr.rows_u is not None:
+        u = mr.unit
+        h = lut([s[1] for s in mr.shapes], oct_id, jnp.int32)
+        a0 = jnp.clip(ys0, 0, h - 1) // u
+        oy = ys0 - a0 * u
+        g, ox, _ = _gather_patch_units(
+            mr, oct_id, layer, ys0, xs0, patch, u
+        )
+        return g, ox, oy
+    g, ox = gather_patches_multi(
+        mr, oct_id, layer, ys0, xs0, patch, extract=False
+    )
+    return g, ox, jnp.zeros_like(ox)
+
+
 def gather_patches_multi(
     mr: MultiRows,
     oct_id: jnp.ndarray,
@@ -314,7 +462,8 @@ def gather_patches_multi(
     ys0: jnp.ndarray,
     xs0: jnp.ndarray,
     patch: int,
-) -> jnp.ndarray:
+    extract: bool = True,
+):
     """(N, patch, patch) patches p[n, a, b] = vol_o[layer, ys0 + a, xs0 + b].
 
     ``ys0`` / ``xs0`` may run past the volume (including negative): columns
@@ -324,6 +473,17 @@ def gather_patches_multi(
     orientation and descriptor windows already mask samples whose 1-pixel
     gradient neighborhood leaves the image, which subsumes this).
 
+    ``extract=False`` skips the one-hot column-extraction matmul and returns
+    the raw gathered twin rows ``(g, ox)``: ``g`` is (N, patch, L) with
+    L = 2*blk (or 4*blk on the wide path) and ``ox`` the per-lane column
+    offset of ``xs0`` within the rows (may be negative at the left image
+    edge, where column ``c`` of the conceptual patch is row lane ``ox + c``
+    and lanes < 0 simply don't exist — consumers must mask by true image
+    coordinates, which they already do).  Lane ``l`` of ``g[n, a]`` holds
+    image column ``xs0 - ox + l``; consumers that reduce over the window can
+    compute directly on the wide rows with lane masks and never pay the
+    extraction matmul (see ops/pallas_desc.py rows kernels).
+
     patch <= blk + 1 fetches one twin row per sample row; wider windows
     (patch <= 3 * blk + 1) fetch the twin rows of blocks b and b+2 —
     contiguous coverage [b*blk, (b+4)*blk) — in a single doubled gather.
@@ -332,6 +492,14 @@ def gather_patches_multi(
     the old blk=128 rows, and only the rare wide descriptor chunks pay for
     256-lane coverage.
     """
+    if extract and mr.rows_u is not None:
+        # Strip-major twin layout: gather u-row units (u x larger DMA
+        # descriptors), then row/col one-hot extraction — bit-identical to
+        # the per-row path (row clamp reproduced inside the band).
+        g, ox, row_idx = _gather_patch_units(
+            mr, oct_id, layer, ys0, xs0, patch, mr.unit
+        )
+        return extract_cols(extract_rows(g, row_idx), ox, patch)
     h = lut([s[1] for s in mr.shapes], oct_id, jnp.int32)
     nb = lut(mr.nbs, oct_id, jnp.int32)
     base = lut(mr.bases, oct_id, jnp.int32)
@@ -371,6 +539,8 @@ def gather_patches_multi(
         blk_step = jnp.ones_like(nb)
     if patch <= mr.blk + 1:
         g = mr.rows[ridx.reshape(-1)].reshape(-1, patch, 2 * mr.blk)
+        if not extract:
+            return g, ox
         return extract_cols(g, ox, patch)
     assert patch <= 3 * mr.blk + 1, (patch, mr.blk)
     # Second twin block b+2: columns [b*blk + 2*blk, b*blk + 4*blk).  Where
@@ -384,6 +554,8 @@ def gather_patches_multi(
         jnp.arange(2)[None, None, :, None] == 0
     )  # (N, 1, 2, 1)
     g = jnp.where(keep, g, 0).reshape(-1, patch, 4 * mr.blk)
+    if not extract:
+        return g, ox
     return extract_cols(g, ox, patch)
 
 
@@ -413,3 +585,98 @@ def gather_patches_rows(
     if extract:
         return extract_cols(g, ox, patch), ox
     return g, ox
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class CubeRows:
+    """Cube-packed DoG layout: ALL layers of a 3x3 column window in ONE row.
+
+    The Newton refinement (models/detect.py) reads 3x3x3 cubes; on the twin
+    layout that is 9 row gathers of 512 B each to use 108 B — transfer-count
+    bound (measured ~15 ms of a batch-16 sweep, the single largest op in the
+    pipeline).  Here row (y, cb) of octave o packs lanes
+    ``z * sw + (col - (cb * stride - 1))`` for every DoG layer z and stored
+    columns [cb*stride - 1, cb*stride - 1 + sw) — i.e. each 128-lane row
+    holds a full-depth slab of ``sw`` columns — so a cube is THREE row
+    gathers (rows y-1..y+1) plus an exact one-hot lane extraction.
+    With n layers, sw = 128 // n stored columns and stride = sw - 3 usable
+    columns per block, any interior x lands in block cb = (x-1) // stride
+    with its +-1 column neighborhood inside the stored window.
+
+    Rows are row-major: row of (y, cb) in octave o = bases[o] + y * nbps[o]
+    + cb.  Unused lanes (>= n * sw) and out-of-image columns are zero.
+    """
+
+    rows: jnp.ndarray  # (sum_o H_o * nbps_o, 128)
+    shapes: tuple = dataclasses.field(metadata=dict(static=True))  # (S,H,W)/oct
+    nbps: tuple = dataclasses.field(metadata=dict(static=True))
+    bases: tuple = dataclasses.field(metadata=dict(static=True))
+    stride: int = dataclasses.field(metadata=dict(static=True))
+    sw: int = dataclasses.field(metadata=dict(static=True))
+
+
+def cube_rows_params(n_layers: int, w: int) -> tuple[int, int, int]:
+    """(stride, sw, nbp) of the packed layout for an n_layers-deep octave."""
+    sw = 128 // n_layers
+    stride = sw - 3
+    nbp = max(1, -(-max(w - 3, 1) // stride))
+    return stride, sw, nbp
+
+
+def cube_rows_xla(d: jnp.ndarray) -> jnp.ndarray:
+    """(B, S, H, W) plain DoG stack -> (B, H * nbp, 128) packed cube rows.
+
+    Pure data movement (slices + transpose + pad); the kernel-side producer
+    is the fused front (sift._jit_front_twin_batch) feeding this per octave.
+    """
+    b, s, h, w = d.shape
+    stride, sw, nbp = cube_rows_params(s, w)
+    # Stored window of block cb: columns [cb*stride - 1, cb*stride - 1 + sw).
+    # Overlap trick: window lanes [stride, sw) of block cb are exactly lanes
+    # [0, sw - stride) of block cb + 1 (col cb*stride + stride - 1 =
+    # (cb+1)*stride - 1), so the overlapping windows come from ONE
+    # non-overlapping reshape plus a block-shifted head slice — no
+    # per-block stack (XLA lowered that to a ~13 ms broadcast at batch 16).
+    dp = jnp.pad(d, ((0, 0), (0, 0), (0, 0), (1, (nbp + 1) * stride - 1 - w)))
+    r = dp.reshape(b, s, h, nbp + 1, stride)
+    win = jnp.concatenate(
+        [r[..., :-1, :], r[..., 1:, : sw - stride]], axis=-1
+    )  # (b, s, h, nbp, sw)
+    lanes = jnp.concatenate(
+        [win[:, i] for i in range(s)]
+        + [jnp.zeros((b, h, nbp, 128 - s * sw), d.dtype)],
+        axis=-1,
+    )  # (b, h, nbp, 128)
+    return lanes.reshape(b, h * nbp, 128)
+
+
+def gather_cubes_packed(
+    cr: CubeRows, oct_id: jnp.ndarray, zyx: jnp.ndarray
+) -> jnp.ndarray:
+    """(N, 3, 3, 3) cubes from the packed layout (interior positions).
+
+    Three 512 B row gathers per cube (vs nine on the twin layout) + an
+    exact one-hot lane extraction on the MXU.  Bit-identical values to
+    gather_cubes_multi (pure data movement either way).
+    """
+    nbp = lut(cr.nbps, oct_id, jnp.int32)
+    base = lut(cr.bases, oct_id, jnp.int32)
+    z, y, x = zyx[:, 0], zyx[:, 1], zyx[:, 2]
+    cb = jnp.clip((x - 1) // cr.stride, 0, nbp - 1)
+    j0 = x - cb * cr.stride  # lane of column x within the block, minus dx-1
+    d3 = jnp.arange(-1, 2)
+    ridx = base[:, None] + (y[:, None] + d3[None, :]) * nbp[:, None] + cb[:, None]
+    rows = cr.rows[ridx.reshape(-1)].reshape(-1, 3, cr.rows.shape[-1])
+    # lane of (dz, dx): (z + dz) * sw + (x + dx) - (cb * stride - 1)
+    dzdx = (d3[:, None] * cr.sw + d3[None, :]).reshape(-1)  # (9,)
+    lane0 = z * cr.sw + j0 + 1  # lane of the (dz=0, dx=0) center sample
+    lanes = jnp.arange(cr.rows.shape[-1], dtype=jnp.int32)
+    oh = (
+        lanes[None, :, None] == (lane0[:, None, None] + dzdx[None, None, :])
+    ).astype(rows.dtype)
+    cube = jnp.einsum(
+        "nrl,nlk->nrk", rows, oh, precision=jax.lax.Precision.HIGHEST
+    )  # (n, 3y, 9=(dz,dx))
+    cube = cube.reshape(-1, 3, 3, 3)  # (n, dy, dz, dx)
+    return cube.transpose(0, 2, 1, 3)  # (n, dz, dy, dx)

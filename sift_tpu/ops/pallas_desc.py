@@ -1,23 +1,26 @@
-"""Pallas TPU kernel for the descriptor trilinear-histogram stage.
+"""Pallas TPU kernels for the orientation/descriptor histogram stages.
 
-The XLA formulation (models/descriptor.py) builds per-sample one-hot factors
-fr (N, S^2, 4), fc (N, S^2, 4), fo (N, S^2, 8), materializes the outer
-product rc = fr x fc (N, S^2, 16) and contracts rc with fo on the MXU —
-every intermediate streams through HBM and the one-hot extraction matmuls
-run at HIGHEST precision (6 bf16 passes).  This kernel keeps the whole
-per-keypoint pipeline — gradients, magnitude/angle, gaussian weight, masks,
-trilinear binning, and the 4x4x8 histogram reduction — resident in VMEM:
-one read of the gathered patches, one (N, 128) histogram write.
+Status (measured on TPU v5 lite, PERF.md): the XLA one-hot + batched-MXU
+contraction paths in models/descriptor.py / models/orient.py WIN on-chip —
+Mosaic has no batched dot_general, so an in-kernel trilinear reduction is a
+VPU plane loop (128 masked multiply-reduces per keypoint block) that loses
+to XLA's batched GEMM even though the kernel pays zero HBM for its one-hot
+intermediates.  Two kernel generations were measured: extracted-patch
+kernels (round 3: desc 53.9 vs 26.2 ms) and the raw row-BAND kernels kept
+below (round 4: desc 89 vs 37 ms at bench caps — the band removes the
+XLA-side extraction matmuls but processes the full 128-lane band).  The
+band kernels stay as the single opt-in (`use_pallas_desc/orient`,
+BENCH_PALLAS=1) for future Mosaic revisions; the patch kernels are deleted.
 
-Numerics contract: identical op set and masks as the XLA fast path
-(descriptor.make_desc_chunk with fast=True) EXCEPT
+Numerics contract (band kernels): identical op set and masks as the XLA
+fast path (descriptor.make_desc_chunk with fast=True) EXCEPT
   - arctan2 is a Cephes-style polynomial (Mosaic has no atan2 lowering);
     descriptors are continuous in the gradient angle, so the ~2-ulp angle
     error perturbs histogram floats by O(1e-7) — the same magnitude as the
     reduction reordering the window-dispatch contract already allows
     (sift.py _use_dispatch).  Oracle counts/match set pinned by
     test_fused_f32; never used on the f64 parity profile.
-  - the (p, p) plane reduction order is Mosaic's, not einsum's.
+  - the reduction order is Mosaic's over the band, not einsum's.
 
 Reference semantics being reproduced: src/sift.cpp:610-682 (sample loop),
 :541-571 (trilinear update_histogram); see models/descriptor.py for the
@@ -32,10 +35,6 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-# Keypoints per grid step.  VMEM budget: ~20 live (NC, p, p<=83->128 lanes)
-# f32 planes = ~7 MB at the worst-case radius.
-DESC_KERNEL_BLOCK = 8
 
 _PI = 3.141592653589793
 _PI_2 = 1.5707963267948966
@@ -69,45 +68,62 @@ def atan2_poly(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(y < 0, -p, p)
 
 
-def _desc_hist_kernel(
-    flt_ref, int_ref, patch_ref, out_ref, *, r: int, bins_per_rad: float
+# ---------------------------------------------------------------------------
+# Band kernels: raw gathered row bands instead of extracted patches.
+#
+# The extracted-patch kernels above still paid for the XLA-side one-hot
+# row/column extraction matmuls and a (NC, p, p) patch materialization; the
+# band kernels consume ops/gather.gather_patch_band output directly —
+# window row j of lane n is band row oy + j, column c is lane ox + c — so
+# the whole per-keypoint pipeline after the (cheap, unit-sized) row gather
+# stays in VMEM.  Processing the full (R, L) band costs nothing extra on
+# the lane axis (the patch kernels padded p -> 128 lanes anyway) and the
+# masks already reject every band sample outside the true window.
+# ---------------------------------------------------------------------------
+
+
+def _desc_hist_band_kernel(
+    flt_ref, int_ref, band_ref, out_ref, *, bins_per_rad: float, block: int
 ):
-    """One block of NC keypoints: patches (NC, p, p) -> histograms (NC, 128).
+    """One block of NC keypoints: row bands (NC, R, L) -> histograms (NC, 128).
 
-    flt columns: 0 cos(pori), 1 sin(pori), 2 pori, 3 1/hist_width,
-                 4 coef = (1/hw)^2 / exp_denom  (gaussian weight separable
-                 coefficient; equals 1/(hw^2 * 0.5 * 4^2), src/sift.cpp:635)
+    Numerics contract: identical to _desc_hist_kernel (polynomial atan2,
+    Mosaic reduction order) — the band holds the same pixel values at
+    shifted coordinates, masked samples contribute exact zeros, and adding
+    zeros never changes an f32 sum.
+
+    flt columns: 0 cos(pori), 1 sin(pori), 2 pori, 3 1/hist_width, 4 coef.
     int columns: 0 x, 1 y (truncated octave coords), 2 radius, 3 width,
-                 4 height, 5 valid
+                 4 height, 5 valid, 6 oxr = ox + r + 1, 7 oyr = oy + r + 1
+                 (the band coordinates of the window center).
     """
-    x = patch_ref[:]  # (NC, p, p)
-    nc, p, _ = x.shape
+    x = band_ref[:]  # (NC, R, L)
+    nc, R, L = x.shape
     dt = x.dtype
+    # flt/ints/out are whole-array refs (their (block, 8) tiles would break
+    # the (8, 128) tiling rule for block < 8); slice this step's rows.
+    row0 = pl.program_id(0) * block
 
-    # Column extraction and reductions stay rank>=2 throughout: rank-1
-    # values crash the Mosaic layout inference on real TPU ("arr.size() >=
-    # layout_rank (1 vs 2)"); interpret mode never catches this.
     def fcol(i):
-        return flt_ref[:, i : i + 1].reshape(nc, 1, 1)
+        return flt_ref[pl.ds(row0, block), i : i + 1].reshape(nc, 1, 1)
 
     def icol(i):
-        return int_ref[:, i : i + 1].reshape(nc, 1, 1)
+        return int_ref[pl.ds(row0, block), i : i + 1].reshape(nc, 1, 1)
 
     ca, sa, pori, inv_hw, coef = (fcol(i) for i in range(5))
-    xo, yo, rad, wl, hl, vmask = (icol(i) for i in range(6))
+    xo, yo, rad, wl, hl, vmask, oxr, oyr = (icol(i) for i in range(8))
 
-    # Gradients with the reference's inverted-y convention
-    # (src/sift.cpp:657-660): dx[c] = x[c+1] - x[c-1]; dy[row] = x[row-1] -
-    # x[row+1].  pltpu.roll(x, s)[i] = x[i - s]; rolls wrap within each
-    # keypoint's plane and the wrapped rows/cols (0 and p-1) are never
-    # sample positions (the patch carries a 1-pixel gradient halo).
-    dx = pltpu.roll(x, p - 1, axis=2) - pltpu.roll(x, 1, axis=2)
-    dy = pltpu.roll(x, 1, axis=1) - pltpu.roll(x, p - 1, axis=1)
+    # Gradients (inverted-y, src/sift.cpp:657-660).  Rolls wrap within the
+    # band; wrapped rows/lanes only ever feed masked samples (an unmasked
+    # sample's 1-pixel neighborhood stays inside the band by construction
+    # of gather_patch_band).
+    dx = pltpu.roll(x, L - 1, axis=2) - pltpu.roll(x, 1, axis=2)
+    dy = pltpu.roll(x, 1, axis=1) - pltpu.roll(x, R - 1, axis=1)
 
-    ri = jax.lax.broadcasted_iota(jnp.int32, (nc, p, p), 1)
-    li = jax.lax.broadcasted_iota(jnp.int32, (nc, p, p), 2)
-    j_off = ri - (r + 1)  # y offset of the sample
-    i_off = li - (r + 1)  # x offset
+    ri = jax.lax.broadcasted_iota(jnp.int32, (nc, R, L), 1)
+    li = jax.lax.broadcasted_iota(jnp.int32, (nc, R, L), 2)
+    j_off = ri - oyr  # y offset of the sample from the window center
+    i_off = li - oxr  # x offset
     rgf = j_off.astype(dt)
     cgf = i_off.astype(dt)
 
@@ -137,17 +153,14 @@ def _desc_hist_kernel(
     two_pi = jnp.asarray(2.0 * _PI, dt)
     angle = jnp.fmod(jnp.fmod(angle, two_pi) + two_pi, two_pi)
     ori_bin = angle * jnp.asarray(bins_per_rad, dt)
-    # Separable gaussian weight: rotation preserves the norm, so
-    # exp(-(row_rot^2+col_rot^2)/exp_denom) == exp(-(i^2+j^2) * coef).
     weight = jnp.exp(-(cgf * cgf + rgf * rgf) * coef)
     m = jnp.where(mask, magnitude * weight, jnp.zeros_like(x))
 
     base_r = jnp.floor(row_bin)
     base_c = jnp.floor(col_bin)
-    base_o = jnp.floor(ori_bin)
     d_r = row_bin - base_r
     d_c = col_bin - base_c
-    d_o = ori_bin - base_o
+    d_o = ori_bin - jnp.floor(ori_bin)
     base_r = base_r.astype(jnp.int32)
     base_c = base_c.astype(jnp.int32)
     io0 = jnp.floor(ori_bin).astype(jnp.int32) % 8
@@ -155,8 +168,6 @@ def _desc_hist_kernel(
 
     zero = jnp.zeros_like(x)
     one = jnp.ones_like(x)
-    # Trilinear one-hot factors, magnitude folded into the row factor so the
-    # per-contribution multiply chain stays ((m * f_r) * f_c) * f_o.
     ar = [
         jnp.where(base_r == rr, m * (one - d_r), zero)
         + jnp.where(base_r == rr - 1, m * d_r, zero)
@@ -178,41 +189,38 @@ def _desc_hist_kernel(
         for cc in range(4):
             prc = ar[rr] * vc[cc]
             for oo in range(8):
-                s1 = jnp.sum(prc * wo[oo], axis=2)  # (nc, p)
+                s1 = jnp.sum(prc * wo[oo], axis=2)  # (nc, R)
                 cols.append(jnp.sum(s1, axis=1, keepdims=True))  # (nc, 1)
-    out_ref[:] = jnp.concatenate(cols, axis=1)
+    out_ref[pl.ds(row0, block), :] = jnp.concatenate(cols, axis=1)
 
 
-def _ori_hist_kernel(
-    flt_ref, int_ref, patch_ref, out_ref, *, r: int, nb: int
+def _ori_hist_band_kernel(
+    flt_ref, int_ref, band_ref, out_ref, *, nb: int, block: int
 ):
-    """One block of NC keypoints: patches (NC, p, p) -> 36-bin histograms.
+    """One block of NC keypoints: row bands (NC, R, L) -> 36-bin histograms.
 
-    Mirrors models/orient.py make_hist_chunk (src/sift.cpp:462-490): gradient
-    magnitude/angle over the sample window, gaussian weight
-    exp(-(i^2+j^2)/edenom), hard bin assignment round(nb*(theta+pi)/2pi) with
-    wrap, masked accumulation.  flt columns: 0 inv_edenom; int columns:
-    0 x, 1 y, 2 radius, 3 width, 4 height, 5 valid.
+    Mirrors _ori_hist_kernel with band coordinates (see
+    _desc_hist_band_kernel).  flt: 0 inv_edenom; int: 0 x, 1 y, 2 radius,
+    3 width, 4 height, 5 valid, 6 oxr, 7 oyr.
     """
-    x = patch_ref[:]
-    nc, p, _ = x.shape
+    x = band_ref[:]
+    nc, R, L = x.shape
     dt = x.dtype
-    # rank>=2 throughout (see _desc_hist_kernel).
-    inv_ed = flt_ref[:, 0:1].reshape(nc, 1, 1)
-    xo = int_ref[:, 0:1].reshape(nc, 1, 1)
-    yo = int_ref[:, 1:2].reshape(nc, 1, 1)
-    rad = int_ref[:, 2:3].reshape(nc, 1, 1)
-    wl = int_ref[:, 3:4].reshape(nc, 1, 1)
-    hl = int_ref[:, 4:5].reshape(nc, 1, 1)
-    vmask = int_ref[:, 5:6].reshape(nc, 1, 1)
+    row0 = pl.program_id(0) * block
+    inv_ed = flt_ref[pl.ds(row0, block), 0:1].reshape(nc, 1, 1)
 
-    dx = pltpu.roll(x, p - 1, axis=2) - pltpu.roll(x, 1, axis=2)
-    dy = pltpu.roll(x, 1, axis=1) - pltpu.roll(x, p - 1, axis=1)
+    def icol(i):
+        return int_ref[pl.ds(row0, block), i : i + 1].reshape(nc, 1, 1)
 
-    ri = jax.lax.broadcasted_iota(jnp.int32, (nc, p, p), 1)
-    li = jax.lax.broadcasted_iota(jnp.int32, (nc, p, p), 2)
-    j_off = ri - (r + 1)
-    i_off = li - (r + 1)
+    xo, yo, rad, wl, hl, vmask, oxr, oyr = (icol(i) for i in range(8))
+
+    dx = pltpu.roll(x, L - 1, axis=2) - pltpu.roll(x, 1, axis=2)
+    dy = pltpu.roll(x, 1, axis=1) - pltpu.roll(x, R - 1, axis=1)
+
+    ri = jax.lax.broadcasted_iota(jnp.int32, (nc, R, L), 1)
+    li = jax.lax.broadcasted_iota(jnp.int32, (nc, R, L), 2)
+    j_off = ri - oyr
+    i_off = li - oxr
 
     mask = (
         (jnp.abs(i_off) <= rad)
@@ -225,9 +233,8 @@ def _ori_hist_kernel(
     )
     magnitude = jnp.sqrt(dx * dx + dy * dy)
     angle = atan2_poly(dy, dx)
-    # round-half-away bin (src/sift.cpp:489-490), wrap nb -> 0.
     b_f = (angle + _PI) * jnp.asarray(nb / (2.0 * _PI), dt)
-    h_idx = jnp.floor(b_f + 0.5).astype(jnp.int32)  # angle+pi >= 0
+    h_idx = jnp.floor(b_f + 0.5).astype(jnp.int32)
     h_idx = jnp.where(h_idx < nb, h_idx, 0)
     fi = (i_off * i_off + j_off * j_off).astype(dt)
     contrib = jnp.where(
@@ -237,80 +244,82 @@ def _ori_hist_kernel(
     for b in range(nb):
         s1 = jnp.sum(
             jnp.where(h_idx == b, contrib, jnp.zeros_like(x)), axis=2
-        )  # (nc, p)
+        )  # (nc, R)
         cols.append(jnp.sum(s1, axis=1, keepdims=True))  # (nc, 1)
-    out_ref[:] = jnp.concatenate(cols, axis=1)
+    out_ref[pl.ds(row0, block), :] = jnp.concatenate(cols, axis=1)
 
 
-def ori_hist_pallas(
-    patches: jnp.ndarray,
+def _band_block(R: int, L: int, planes: int = 34) -> int:
+    """Keypoints per grid step keeping ~planes live (NC, R, L) f32 planes
+    within a ~12 MB VMEM budget (power of two, >= 2)."""
+    budget = 12 * 1024 * 1024
+    blk = 16
+    while blk > 2 and blk * (-(-R // 8) * 8) * L * 4 * planes > budget:
+        blk //= 2
+    return blk
+
+
+def desc_hist_band_pallas(
+    band: jnp.ndarray,
     flt: jnp.ndarray,
     ints: jnp.ndarray,
-    r: int,
-    nb: int,
-    block: int = DESC_KERNEL_BLOCK,
+    bins_per_rad: float,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """(N, p, p) patches + per-keypoint scalars -> (N, nb) f32 histograms."""
-    n, p, _ = patches.shape
+    """(N, R, L) row bands + per-keypoint scalars -> (N, 128) f32 hists."""
+    n, R, L = band.shape
+    block = _band_block(R, L)
     assert n % block == 0, (n, block)
-    kernel = partial(_ori_hist_kernel, r=r, nb=nb)
+    kernel = partial(
+        _desc_hist_band_kernel, bins_per_rad=bins_per_rad, block=block
+    )
     return pl.pallas_call(
         kernel,
         grid=(n // block,),
-        out_shape=jax.ShapeDtypeStruct((n, nb), patches.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, 128), band.dtype),
         in_specs=[
-            pl.BlockSpec((block, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (block, p, p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (block, R, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (block, nb), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        interpret=interpret,
-    )(flt, ints, patches)
-
-
-def desc_hist_pallas(
-    patches: jnp.ndarray,
-    flt: jnp.ndarray,
-    ints: jnp.ndarray,
-    r: int,
-    bins_per_rad: float,
-    block: int = DESC_KERNEL_BLOCK,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """(N, p, p) gathered patches + per-keypoint scalars -> (N, 128) f32 hist.
-
-    N must be a multiple of ``block``; ``flt`` is (N, 8) f32 and ``ints``
-    (N, 8) i32 packed as documented on the kernel.
-    """
-    n, p, _ = patches.shape
-    assert n % block == 0, (n, block)
-    grid = (n // block,)
-    kernel = partial(_desc_hist_kernel, r=r, bins_per_rad=bins_per_rad)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        out_shape=jax.ShapeDtypeStruct((n, 128), patches.dtype),
-        in_specs=[
-            pl.BlockSpec((block, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (block, p, p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (block, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            # Worst-case-radius windows keep ~30 live (block, p, 128-lane)
-            # f32 planes; raise the scoped VMEM budget instead of shrinking
-            # the block below the 8-sublane tile.
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(flt, ints, patches)
+    )(flt, ints, band)
+
+
+def ori_hist_band_pallas(
+    band: jnp.ndarray,
+    flt: jnp.ndarray,
+    ints: jnp.ndarray,
+    nb: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(N, R, L) row bands + per-keypoint scalars -> (N, nb) f32 hists."""
+    n, R, L = band.shape
+    block = _band_block(R, L, planes=30)
+    assert n % block == 0, (n, block)
+    kernel = partial(_ori_hist_band_kernel, nb=nb, block=block)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // block,),
+        out_shape=jax.ShapeDtypeStruct((n, nb), band.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block, R, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(flt, ints, band)

@@ -327,8 +327,9 @@ def fused_octave_front(
 #
 #   gauss twins: stored layers [1, intervals] only (refined keypoint layers
 #     always land there, see models/detect.py refine bounds), blk=64.
-#   DoG twins:   all layers (Newton cubes read z-1..z+1 over the full
-#     stack), blk=64 (= detect._REFINE_BLK).
+#   DoGs: plain (B, n, H, W) stacks — their only consumer is the Newton
+#     cube gather, which reads the cube-packed layout (gather.CubeRows)
+#     built from these stacks by the caller.
 #   mask/counts: as fused_octave_front.
 #   down:        plain gauss layer S-3 (the next octave's seed,
 #     src/sift.cpp:195-196) — the only plain-layout output left.
@@ -343,12 +344,12 @@ def fused_octave_front(
 
 
 def _octave_front_twin_kernel(
-    in_ref, gbuf_ref, dbuf_ref, gt_ref, dt_ref, mask_ref, counts_ref,
+    in_ref, gbuf_ref, gt_ref, dogs_ref, mask_ref, counts_ref,
     down_ref, *,
     taps_list, sum_ws, strip, halo, height, width, nbm, thr, blk, nbt,
     g_l0, g_nl,
 ):
-    del gbuf_ref, dbuf_ref  # aliased into gt_ref / dt_ref
+    del gbuf_ref  # aliased into gt_ref
     x = in_ref[:]  # (ext, w): strip rows + halo each side (edge-padded seed)
     base = pl.program_id(1) * strip - halo
     n = len(taps_list)
@@ -367,25 +368,11 @@ def _octave_front_twin_kernel(
                 xt[:, bb * blk : (bb + 2) * blk]
             )
 
-    prev = x
-    dogs_h = []  # (strip + 2, w) haloed DoG strips for the 3x3x3 window
-    for i in range(n):
-        h = _h_pass(prev, taps_list[i], sum_ws[i])
-        v = _v_pass(h, taps_list[i], sum_ws[i])
-        v = _fix_borders(v, base, height)
-        layer = i + 1  # gauss stack index (0 = seed)
-        if g_l0 <= layer < g_l0 + g_nl:
-            write_twins(gt_ref, layer - g_l0, v[halo:halo + strip, :])
-        if layer == n - 2:  # gauss[S-3], S = n+1: the next octave's seed
-            down_ref[...] = v[halo:halo + strip, :]
-        d = v - prev  # dog[i] = gauss[i+1] - gauss[i] (src/sift.cpp:217)
-        write_twins(dt_ref, i, d[halo:halo + strip, :])
-        dogs_h.append(d[halo - 1:halo + strip + 1, :])
-        prev = v
-
-    # Extremum mask + per-128-lane popcounts, as _octave_front_kernel.
-    s3max = [_spatial3(d, jnp.maximum) for d in dogs_h]
-    s3min = [_spatial3(d, jnp.minimum) for d in dogs_h]
+    # Mask plumbing (emitted layer-by-layer below; interleaving the extremum
+    # window with the blur chain keeps only a SLIDING 3-layer window of
+    # haloed DoGs / spatial min-max strips live, which is what lets the
+    # strip be twice as tall in the same VMEM — the halo recompute overhead
+    # scales with ext/strip, so taller strips directly cut blur work).
     grow = jax.lax.broadcasted_iota(jnp.int32, (strip, w), 0) + base + halo
     lane = jax.lax.broadcasted_iota(jnp.int32, (strip, w), 1)
     interior = (
@@ -396,22 +383,51 @@ def _octave_front_twin_kernel(
         == jax.lax.broadcasted_iota(jnp.int32, (w, nbm), 1)
     ).astype(dtype)
     thr_c = jnp.asarray(thr, dtype)
-    for zi in range(1, n - 1):
-        c = dogs_h[zi][1:-1, :]
-        wmax = jnp.maximum(jnp.maximum(s3max[zi - 1], s3max[zi]), s3max[zi + 1])
-        wmin = jnp.minimum(jnp.minimum(s3min[zi - 1], s3min[zi]), s3min[zi + 1])
-        m = (jnp.abs(c) > thr_c) & ((c >= wmax) | (c <= wmin)) & interior
-        mf = m.astype(dtype)
-        mask_ref[zi - 1] = mf
-        counts_ref[zi - 1] = jax.lax.dot(
-            mf, bmat, precision=jax.lax.Precision.HIGHEST
-        ).astype(jnp.int32)
+
+    prev = x
+    win = []  # sliding [(center_rows, s3max, s3min)] of the last 3 DoGs
+    for i in range(n):
+        h = _h_pass(prev, taps_list[i], sum_ws[i])
+        v = _v_pass(h, taps_list[i], sum_ws[i])
+        v = _fix_borders(v, base, height)
+        layer = i + 1  # gauss stack index (0 = seed)
+        if g_l0 <= layer < g_l0 + g_nl:
+            write_twins(gt_ref, layer - g_l0, v[halo:halo + strip, :])
+        if layer == n - 2:  # gauss[S-3], S = n+1: the next octave's seed
+            down_ref[...] = v[halo:halo + strip, :]
+        d = v - prev  # dog[i] = gauss[i+1] - gauss[i] (src/sift.cpp:217)
+        # Plain stack write: the DoG's only consumer is the Newton cube
+        # gather, which reads the cube-packed layout (gather.CubeRows)
+        # built from these stacks — the DoG twin rows are gone.
+        dogs_ref[i] = d[halo:halo + strip, :]
+        dh = d[halo - 1:halo + strip + 1, :]
+        win.append((dh[1:-1, :], _spatial3(dh, jnp.maximum),
+                    _spatial3(dh, jnp.minimum)))
+        if len(win) == 3:
+            zi = i - 1  # interior DoG layer whose window is now complete
+            c = win[1][0]
+            wmax = jnp.maximum(jnp.maximum(win[0][1], win[1][1]), win[2][1])
+            wmin = jnp.minimum(jnp.minimum(win[0][2], win[1][2]), win[2][2])
+            m = (jnp.abs(c) > thr_c) & ((c >= wmax) | (c <= wmin)) & interior
+            mf = m.astype(dtype)
+            mask_ref[zi - 1] = mf
+            counts_ref[zi - 1] = jax.lax.dot(
+                mf, bmat, precision=jax.lax.Precision.HIGHEST
+            ).astype(jnp.int32)
+            win.pop(0)
+        prev = v
 
 
 def pick_strip_front_twin(
     w: int, halo: int, n: int, nl: int, blk: int, itemsize: int = 4
 ) -> int | None:
-    """Largest power-of-two strip keeping the twin front kernel in VMEM."""
+    """Largest power-of-two strip keeping the twin front kernel in VMEM.
+
+    Budget is slightly above the generic _VMEM_BUDGET: the estimate below is
+    conservative (double-counts double-buffered outputs against blur
+    temporaries), and the strip height directly controls the halo-recompute
+    overhead (ext/strip) — measured on-chip, strip 32 at the doubled-640x480
+    octave beats strip 16 by ~25% on the whole front stage."""
     nbm = -(-w // 128)
     nbt = -(-w // blk)
     wpm = nbm * 128
@@ -420,13 +436,14 @@ def pick_strip_front_twin(
         ext = -(-(strip + 2 * halo) // 8) * 8
         est = itemsize * (
             2 * ext * w                                # input, double buffered
-            + 2 * strip * (nl + n) * nbt * 2 * blk     # twin blocks, x2
+            + 2 * strip * nl * nbt * 2 * blk           # gauss twins, x2
+            + 2 * strip * n * w                        # plain DoG out, x2
             + 2 * strip * (n_int * wpm + n_int * nbm + w)  # mask+counts+down
             + 6 * ext * w                              # blur temporaries
-            + n * (strip + 2) * w                      # retained haloed DoGs
-            + 2 * n * strip * w                        # spatial min/max
+            + 3 * (strip + 2) * w                      # sliding haloed DoGs
+            + 2 * 3 * strip * w                        # sliding spatial
         )
-        if est <= _VMEM_BUDGET:
+        if est <= 13 * 1024 * 1024:
             return strip
     return None
 
@@ -439,7 +456,7 @@ def front_twin_strip(shape, half_kernels, n_keep_gauss: int, blk: int = 64,
     if jnp.dtype(dtype) != jnp.float32:
         return None
     h, w = shape[-2], shape[-1]
-    halo = _front_halo(half_kernels)
+    halo = -(-_front_halo(half_kernels) // 8) * 8  # sublane-aligned (kernel)
     strip = pick_strip_front_twin(
         w, halo, len(half_kernels), n_keep_gauss, blk
     )
@@ -454,23 +471,22 @@ def fused_octave_front_twin(
     half_kernels: list[list[float]],
     threshold: float,
     gbuf: jnp.ndarray,
-    dbuf: jnp.ndarray,
     gbase: int,
-    dbase: int,
     strip: int,
     blk: int = 64,
     g_l0: int = 1,
     g_nl: int | None = None,
     interpret: bool | None = None,
 ):
-    """One octave, one kernel, twin-row outputs written in place.
+    """One octave, one kernel: gauss twin rows in place + plain DoG stack.
 
     img: (B, H, W) seed.  Writes gauss twin rows (stored layers
-    [g_l0, g_l0 + g_nl)) into ``gbuf`` at row ``gbase`` and DoG twin rows
-    (all layers) into ``dbuf`` at ``dbase`` (both (B, RT, 2 * blk),
-    strip-major/layer-minor layout, bases block-aligned), and returns
-    ``(gbuf, dbuf, mask, counts, down)`` where mask/counts are as
-    fused_octave_front and ``down`` is the plain gauss layer S-3.
+    [g_l0, g_l0 + g_nl)) into ``gbuf`` at row ``gbase``
+    (strip-major/layer-minor layout, base block-aligned) and returns
+    ``(gbuf, dogs, mask, counts, down)`` where ``dogs`` is the plain
+    (B, n, H, W) DoG stack (feeding the cube-packed gather layout),
+    mask/counts are as fused_octave_front and ``down`` is the plain gauss
+    layer S-3.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -482,16 +498,18 @@ def fused_octave_front_twin(
     nbt = -(-w // blk)
     taps_list = tuple(tuple(float(t) for t in hk) for hk in half_kernels)
     sum_ws = tuple(half_kernel_weight_sum(list(hk)) for hk in half_kernels)
-    halo = _front_halo(half_kernels)
+    # Halo rounded up to the sublane tile (8): the in-kernel strip slices
+    # v[halo : halo + strip] must sit at sublane offset 0 or Mosaic rejects
+    # the lane-pad concatenate ("result/input offset mismatch"); the extra
+    # rows are ordinary valid margin.
+    halo = -(-_front_halo(half_kernels) // 8) * 8
     nstrips = -(-h // strip)
     ext = strip + 2 * halo
-    ext = -(-ext // 8) * 8
     pad_bot = (nstrips - 1) * strip + ext - halo - h
     img_pad = jnp.pad(img, ((0, 0), (halo, pad_bot), (0, 0)), mode="edge")
 
     g_unit = g_nl * nbt * strip  # gauss twin rows per grid step
-    d_unit = n * nbt * strip
-    assert gbase % g_unit == 0 and dbase % d_unit == 0, (gbase, dbase)
+    assert gbase % g_unit == 0, gbase
 
     kernel = partial(
         _octave_front_twin_kernel, taps_list=taps_list, sum_ws=sum_ws,
@@ -503,7 +521,7 @@ def fused_octave_front_twin(
         grid=(b, nstrips),
         out_shape=[
             jax.ShapeDtypeStruct(gbuf.shape, gbuf.dtype),
-            jax.ShapeDtypeStruct(dbuf.shape, dbuf.dtype),
+            jax.ShapeDtypeStruct((b, n, h, w), img.dtype),
             jax.ShapeDtypeStruct((b, n - 2, h, w), img.dtype),
             jax.ShapeDtypeStruct((b, n - 2, h, nbm), jnp.int32),
             jax.ShapeDtypeStruct((b, h, w), img.dtype),
@@ -515,7 +533,6 @@ def fused_octave_front_twin(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec(
@@ -523,11 +540,8 @@ def fused_octave_front_twin(
                 lambda bi, s, gb=gbase // g_unit: (bi, gb + s, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (None, d_unit, 2 * blk),
-                lambda bi, s, db=dbase // d_unit: (bi, db + s, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((None, n, strip, w),
+                         lambda bi, s: (bi, 0, s, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, n - 2, strip, w),
                          lambda bi, s: (bi, 0, s, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, n - 2, strip, nbm),
@@ -535,15 +549,15 @@ def fused_octave_front_twin(
             pl.BlockSpec((None, strip, w), lambda bi, s: (bi, s, 0),
                          memory_space=pltpu.VMEM),
         ],
-        input_output_aliases={1: 0, 2: 1},
+        input_output_aliases={1: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(img_pad, gbuf, dbuf)
-    gbuf, dbuf, mask, counts, down = outs
-    return gbuf, dbuf, mask, counts, down
+    )(img_pad, gbuf)
+    gbuf, dogs, mask, counts, down = outs
+    return gbuf, dogs, mask, counts, down
 
 
 def twin_strided_xla(

@@ -171,3 +171,62 @@ def twin_rows_strips(
         bases=tuple(m[3] for m in metas),
         shp=tuple(m[1].bit_length() - 1 for m in metas),
     )
+
+
+# --- cube-packed DoG rows (gather.CubeRows) ---------------------------------
+#
+# The XLA construction (gather.cube_rows_xla) reshapes through sw=25-lane
+# minor tiles, which XLA materializes at ~5x below stream rate (~15 ms per
+# batch-16 sweep).  This kernel reads each DoG row strip once and emits the
+# 128-lane packed rows with static VMEM lane slices, like the twin builder
+# above.  Pure data movement; row order identical to cube_rows_xla.
+
+
+def _cube_pack_kernel(d_ref, out_ref, *, nbp, stride, sw, nz):
+    x = d_ref[:]  # (nz, st, (nbp + 1) * stride) — lane 0 = image column -1
+    st = x.shape[1]
+    dt = x.dtype
+    pad = jnp.zeros((st, 128 - nz * sw), dt)
+    for cb in range(nbp):
+        pieces = [x[z, :, cb * stride : cb * stride + sw] for z in range(nz)]
+        pieces.append(pad)
+        out_ref[:, cb, :] = jnp.concatenate(pieces, axis=-1)
+
+
+def cube_pack_rows(
+    d: jnp.ndarray, interpret: bool | None = None
+) -> jnp.ndarray:
+    """(B, S, H, W) plain DoG stack -> (B, H * nbp, 128) packed cube rows.
+
+    Bit-identical output to gather.cube_rows_xla (rows past H hold padding
+    that the cube gather never reads — interior y only).
+    """
+    from sift_tpu.ops.gather import cube_rows_params
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, s, h, w = d.shape
+    stride, sw, nbp = cube_rows_params(s, w)
+    wp = (nbp + 1) * stride
+    st = 64
+    hp = -(-h // st) * st
+    # Lane 0 = column -1 (the left halo of block 0); zero past W.
+    dp = jnp.pad(d, ((0, 0), (0, 0), (0, hp - h), (1, wp - w - 1)))
+    kernel = partial(_cube_pack_kernel, nbp=nbp, stride=stride, sw=sw, nz=s)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, hp // st),
+        out_shape=jax.ShapeDtypeStruct((b, hp, nbp, 128), d.dtype),
+        in_specs=[
+            pl.BlockSpec((None, s, st, wp), lambda bi, si: (bi, 0, si, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, st, nbp, 128), lambda bi, si: (bi, si, 0, 0)
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(dp)
+    return out.reshape(b, hp * nbp, 128)[:, : h * nbp]

@@ -75,7 +75,12 @@ def sharded_match(
         d2 = jnp.where(v2_shard[None, :], d2, _HUGE_D2)
         best, second, bidx = _local_top2(d2)
         shard = jax.lax.axis_index("kp")
-        gidx = bidx + shard * d2_shard.shape[1]
+        # Global index = local column + shard offset.  The offset is the
+        # B-side SHARD WIDTH (d2.shape[1] = m/nkp), not d2_shard.shape[1]
+        # (the 128-wide descriptor dim) — the two coincide only when
+        # m/nkp == 128, which is why narrow-capacity tests can't catch a
+        # mix-up here (tests/test_batch.py now uses a non-128 shard width).
+        gidx = bidx + shard * d2.shape[1]
 
         # Merge across shards: all_gather the per-shard top-2 candidates.
         bests = jax.lax.all_gather(best, "kp")      # (nkp, N)

@@ -78,9 +78,9 @@ def test_twin_strided_xla_gathers_match_multi_rows():
 
 @pytest.mark.parametrize("hw", [(96, 160), (300, 160)])
 def test_fused_front_twin_matches_front(hw):
-    """The twin kernel's buffers equal twin_strided_xla of the plain front's
-    stacks EXACTLY (same blur chain, different output layout), and
-    mask/counts/down match too."""
+    """The twin kernel's gauss buffer equals twin_strided_xla of the plain
+    front's stack EXACTLY (same blur chain, different output layout), its
+    plain DoG stack equals the plain front's, and mask/counts/down match."""
     from sift_tpu.ops.pallas_pyramid import (
         front_twin_strip,
         fused_octave_front,
@@ -106,9 +106,8 @@ def test_fused_front_twin_matches_front(hw):
     nbt = -(-w // blk)
     nstrips = -(-h // st)
     gbuf = jnp.full((2, nstrips * g_nl * nbt * st, 2 * blk), -1.0, jnp.float32)
-    dbuf = jnp.full((2, nstrips * n * nbt * st, 2 * blk), -1.0, jnp.float32)
-    gbuf, dbuf, m, c, down = fused_octave_front_twin(
-        img, hks, thr, gbuf, dbuf, 0, 0, st, blk, g_l0, g_nl, interpret=True
+    gbuf, dogs, m, c, down = fused_octave_front_twin(
+        img, hks, thr, gbuf, 0, st, blk, g_l0, g_nl, interpret=True
     )
 
     g2, d2, m2, c2 = fused_octave_front(img, hks, thr, interpret=True)
@@ -118,8 +117,8 @@ def test_fused_front_twin_matches_front(hw):
         np.asarray(down), np.asarray(g2[:, g2.shape[1] - 3])
     )
 
+    np.testing.assert_array_equal(np.asarray(dogs), np.asarray(d2))
     gt_ref = twin_strided_xla(g2, blk, st, g_l0, g_nl)
-    dt_ref = twin_strided_xla(d2, blk, st, 0, n)
     # rows holding image rows >= H are padding (undefined); compare only
     # defined rows: strip s covers image rows [s*st, min(H, (s+1)*st))
     def defined(rows_like, nl):
@@ -137,7 +136,46 @@ def test_fused_front_twin_matches_front(hw):
     np.testing.assert_array_equal(
         np.asarray(gbuf)[:, gm], np.asarray(gt_ref)[:, gm]
     )
-    dm = defined(dt_ref, n)
-    np.testing.assert_array_equal(
-        np.asarray(dbuf)[:, dm], np.asarray(dt_ref)[:, dm]
+
+
+def test_gather_cubes_packed_matches_multi_rows():
+    """The cube-packed layout (gather.CubeRows) returns bit-identical cubes
+    to the twin-row gather across octaves, depths and borders — pure data
+    movement either way, 3 row fetches instead of 9."""
+    from sift_tpu.ops.gather import (
+        CubeRows,
+        build_multi_rows,
+        cube_rows_params,
+        cube_rows_xla,
+        gather_cubes_multi,
+        gather_cubes_packed,
     )
+
+    rng = np.random.default_rng(0)
+    shapes = [(5, 40, 200), (5, 20, 100), (5, 9, 23)]
+    vols = [jnp.asarray(rng.normal(size=s).astype(np.float32)) for s in shapes]
+    mr = build_multi_rows(vols, blk=64)
+    rows, bases, nbps = [], [], []
+    acc = 0
+    for v in vols:
+        stride, sw, nbp = cube_rows_params(v.shape[0], v.shape[2])
+        r = cube_rows_xla(v[None])[0]
+        bases.append(acc)
+        nbps.append(nbp)
+        acc += r.shape[0]
+        rows.append(r)
+    cr = CubeRows(
+        rows=jnp.concatenate(rows, 0), shapes=tuple(shapes),
+        nbps=tuple(nbps), bases=tuple(bases), stride=stride, sw=sw,
+    )
+    n = 500
+    oct_id = rng.integers(0, 3, n).astype(np.int32)
+    hs = np.array([shapes[o][1] for o in oct_id])
+    ws = np.array([shapes[o][2] for o in oct_id])
+    z = rng.integers(1, 4, n)
+    y = 1 + rng.integers(0, 1000, n) % (hs - 2)
+    x = 1 + rng.integers(0, 1000, n) % (ws - 2)
+    zyx = jnp.asarray(np.stack([z, y, x], -1).astype(np.int32))
+    c_ref = np.asarray(gather_cubes_multi(mr, jnp.asarray(oct_id), zyx))
+    c_new = np.asarray(gather_cubes_packed(cr, jnp.asarray(oct_id), zyx))
+    np.testing.assert_array_equal(c_ref, c_new)

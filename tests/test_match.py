@@ -137,3 +137,53 @@ def test_sharded_match_equals_single_device(descs):
         np.testing.assert_array_equal(
             np.asarray(idx)[np.asarray(acc)], np.asarray(ref_idx)[np.asarray(ref_acc)]
         )
+
+
+def test_sharded_match_winners_in_every_shard():
+    """Global-index reconstruction with winners spread across ALL shards.
+
+    Regression guard: shard widths here (192, 96) differ from the 128-wide
+    descriptor dim, and planted best matches land in every shard, so a
+    shard-offset mix-up (e.g. multiplying by desc dim instead of shard
+    width) flips accepted indices and fails the exact comparison below.
+    """
+    import jax
+
+    from sift_tpu.parallel.dist import sharded_match
+    from sift_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(7)
+    n, m = 256, 384  # kp=2 -> width 192; kp=4 -> width 96 (never 128)
+    d1 = rng.integers(0, 256, (n, 128)).astype(np.uint8)
+    d2 = rng.integers(0, 256, (m, 128)).astype(np.uint8)
+    for i in range(0, n, 5):  # plant near-duplicates across the full range
+        d2[(i * 3 + 11) % m] = np.clip(
+            d1[i].astype(int) + rng.integers(-2, 3, 128), 0, 255
+        ).astype(np.uint8)
+    v1 = np.ones(n, bool)
+    v2 = np.ones(m, bool)
+
+    ref_idx, ref_acc, ref_b, ref_s = match_descriptors(
+        jnp.asarray(d1), jnp.asarray(v1), jnp.asarray(d2), jnp.asarray(v2)
+    )
+    ref_set = {
+        (i, int(j))
+        for i, j in enumerate(np.asarray(ref_idx))
+        if np.asarray(ref_acc)[i]
+    }
+    assert any(j >= m // 2 for _, j in ref_set), "fixture must span shards"
+
+    for kp_axis in (2, 4):
+        mesh = make_mesh(data=1, kp=kp_axis)
+        idx, acc, b, s = sharded_match(
+            jnp.asarray(d1), jnp.asarray(v1), jnp.asarray(d2), jnp.asarray(v2),
+            mesh,
+        )
+        got = {
+            (i, int(j))
+            for i, j in enumerate(np.asarray(idx))
+            if np.asarray(acc)[i]
+        }
+        assert got == ref_set
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(ref_b))
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(ref_s))

@@ -134,3 +134,19 @@ def test_wide_patch_two_block_gather():
         build_multi_rows(vols, blk=16), oct_id, layer, ys0, xs0, patch
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_cube_pack_rows_matches_xla():
+    """The Pallas cube-pack kernel equals gather.cube_rows_xla bit-for-bit
+    (pure data movement) across odd shapes."""
+    import numpy as np
+
+    from sift_tpu.ops.gather import cube_rows_xla
+    from sift_tpu.ops.pallas_relayout import cube_pack_rows
+
+    rng = np.random.default_rng(3)
+    for shape in [(2, 5, 96, 200), (1, 5, 70, 23), (2, 5, 9, 47)]:
+        d = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        ref = np.asarray(cube_rows_xla(d))
+        got = np.asarray(cube_pack_rows(d, interpret=True))
+        np.testing.assert_array_equal(ref, got)
