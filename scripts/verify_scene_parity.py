@@ -62,6 +62,8 @@ def _tpu_f32_sweep(args, cfg) -> None:
         order.append(frame)
 
     # Batched detection through the production pipeline (persistent cache).
+    # Capacity honesty: the true per-stage counts are asserted against the
+    # caps — a clipped frame would silently fail coverage, so make it loud.
     kps = {}
     bs = 8
     frames_ok = 0
@@ -69,7 +71,14 @@ def _tpu_f32_sweep(args, cfg) -> None:
         chunk = order[lo:lo + bs]
         pad = chunk + [chunk[-1]] * (bs - len(chunk))
         imgs = jnp.asarray(np.stack([frames[f] for f in pad]))
-        kp = detect_and_describe_batch(imgs, cfg)
+        kp, counts = detect_and_describe_batch(imgs, cfg, return_counts=True)
+        for name, cap in (("extrema", cfg.extrema_cap),
+                          ("refined", cfg.kp_cap), ("oriented", cfg.ori_cap)):
+            mx = int(np.asarray(counts[name]).max())
+            assert mx <= cap, (
+                f"frames {chunk}: {name} overflow {mx} > cap {cap} — "
+                f"re-run with --caps sized for the scene"
+            )
         for n, f in enumerate(chunk):
             kps[f] = jax.tree_util.tree_map(lambda a, n=n: a[n], kp)
 
@@ -116,15 +125,66 @@ def _tpu_f32_sweep(args, cfg) -> None:
             len(mine) == len(ref_pairs)
             and _coord_multiset_match(mine, ref_pairs, tol=5e-2)
         )
+        # Bijective overlap: fraction of oracle matches reproduced (greedy
+        # 1:1 assignment within 5e-2 px on the coordinate quadruple).
+        overlap = 0
+        if len(mine) and len(ref_pairs):
+            d = np.abs(mine[:, None, :] - ref_pairs[None, :, :]).max(-1)
+            used = np.zeros(len(mine), bool)
+            for rj in range(len(ref_pairs)):
+                cand = np.nonzero((d[:, rj] <= 5e-2) & ~used)[0]
+                if len(cand):
+                    used[cand[0]] = True
+                    overlap += 1
         edges_ok += ok
         print(_json.dumps(dict(
             edge=[i, j], matches=int(len(mine)),
             ref_matches=int(len(ref_pairs)), set_exact=ok,
+            overlap=overlap,
         )), flush=True)
 
     print(_json.dumps(dict(
         summary=True, profile="f32-tpu-production", frames=len(dumps),
         frames_ok=frames_ok, edges=edges_total, edges_ok=edges_ok,
+    )))
+
+
+def _tpu_pair_anchor(cfg) -> None:
+    """Bench-shape anchor: at the EXACT bench capacities the production
+    program reproduces the reference's 165-match set bit-for-bit (same
+    compiled shapes as BENCH_r*.json)."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _coord_multiset_match, _oracle_match_pairs
+    from sift_tpu import match_descriptors
+    from sift_tpu.models.sift import detect_and_describe_batch
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "data",
+    )
+    r0 = dict(np.load(os.path.join(base, "oracle_cave00.npz")))
+    r1 = dict(np.load(os.path.join(base, "oracle_cave01.npz")))
+    imgs = np.stack([r0["input"], r1["input"]]).astype(np.float32)
+    kp = detect_and_describe_batch(jnp.asarray(imgs), cfg)
+    idx, acc, _, _ = match_descriptors(
+        kp.desc[0], kp.valid[0], kp.desc[1], kp.valid[1], cfg.ratio_threshold
+    )
+    acc_np, idx_np = np.asarray(acc), np.asarray(idx)
+    rows = np.nonzero(acc_np & np.asarray(kp.valid[0]))[0]
+    mine = np.stack(
+        [np.asarray(kp.x[0])[rows], np.asarray(kp.y[0])[rows],
+         np.asarray(kp.x[1])[idx_np[rows]], np.asarray(kp.y[1])[idx_np[rows]]],
+        axis=1,
+    ).astype(np.float64)
+    ref = _oracle_match_pairs(r0, r1)
+    ok = len(mine) == len(ref) == 165 and _coord_multiset_match(
+        mine, ref, tol=5e-2
+    )
+    print(json.dumps(dict(
+        anchor="bench-caps CAVE-01 00<->01", matches=int(len(mine)),
+        oracle=int(len(ref)), set_exact=bool(ok),
     )))
 
 
@@ -137,6 +197,12 @@ def main() -> None:
         "dispatch, bench capacities) instead of the f64 CPU parity profile; "
         "match sets are compared to the oracle's as coordinate multisets "
         "(f32 coords wiggle ~1e-3 px vs the C++ f64 dump)",
+    )
+    ap.add_argument(
+        "--caps", default=None,
+        help="extrema,kp,ori capacity override for --tpu-f32 (the default "
+        "bench caps are tuned for frames 00/01; busier scene frames need "
+        "scene-sized caps — capacity honesty is asserted either way)",
     )
     ap.add_argument(
         "--scene-oracle",
@@ -176,9 +242,17 @@ def main() -> None:
     from sift_tpu.utils.stitch_graph import parse_stitch_graph
 
     if args.tpu_f32:
-        # The exact bench.py configuration: the production throughput path.
-        cfg = SiftConfig(dtype=jnp.float32, extrema_cap=6144, kp_cap=1536,
-                         ori_cap=2048)
+        # The exact bench.py configuration: the production throughput path
+        # (--caps re-sizes the fixed buffers for busier frames; every other
+        # knob — fused twin front, window dispatch, f32 — is the bench's).
+        caps = (6144, 1536, 2048)
+        if args.caps:
+            caps = tuple(int(x) for x in args.caps.split(","))
+        cfg = SiftConfig(dtype=jnp.float32, extrema_cap=caps[0],
+                         kp_cap=caps[1], ori_cap=caps[2])
+        # Always print the bench-shape anchor first (exact-165 contract).
+        _tpu_pair_anchor(SiftConfig(dtype=jnp.float32, extrema_cap=6144,
+                                    kp_cap=1536, ori_cap=2048))
         return _tpu_f32_sweep(args, cfg)
     cfg = SiftConfig(dtype=jnp.float64)
     dumps = sorted(glob.glob(os.path.join(args.scene_oracle, "*.npz")))

@@ -187,6 +187,7 @@ def _jit_front_twin_batch(imgs, cfg: SiftConfig, octaves: int):
         fused_octave_front_twin,
         twin_strided_xla,
     )
+    from sift_tpu.ops.pallas_relayout import cube_pack_rows
 
     thr = cfg.extremum_threshold()
     img = compute_initial_image(imgs, cfg)
@@ -195,12 +196,15 @@ def _jit_front_twin_batch(imgs, cfg: SiftConfig, octaves: int):
         cfg, octaves, h1, w1
     )
     gbuf = jnp.zeros((b, g_total, 2 * blk), cfg.dtype)
-    masks, counts, dogs_all = [], [], []
+    masks, counts, pk_all = [], [], []
     for h, w, st, fits, nbt, gbase in plan:
         if fits:
-            gbuf, d, m, c, down = fused_octave_front_twin(
+            # pk: cube-packed DoG rows straight from the kernel (the plain
+            # DoG stacks never exist on this path).
+            gbuf, pk, m, c, down = fused_octave_front_twin(
                 img, hks, thr, gbuf, gbase, st, blk, g_l0, g_nl
             )
+            pk = pk.reshape(b, -1, 128)
             wpm = -(-w // 128) * 128
             if wpm > w:  # lane-pad to whole 128-blocks (small octaves only)
                 m = jnp.pad(m, ((0, 0), (0, 0), (0, 0), (0, wpm - w)))
@@ -209,9 +213,10 @@ def _jit_front_twin_batch(imgs, cfg: SiftConfig, octaves: int):
             gt = twin_strided_xla(g, blk, st, g_l0, g_nl)
             gbuf = jax.lax.dynamic_update_slice(gbuf, gt, (0, gbase, 0))
             down = g[:, g.shape[1] - 3]
+            pk = cube_pack_rows(d)
         masks.append(m)
         counts.append(c)
-        dogs_all.append(d)
+        pk_all.append(pk)
         img = downsample_nearest_x2(down)
     shp = tuple(p[2].bit_length() - 1 for p in plan)
     gmr = MultiRows(
@@ -226,19 +231,15 @@ def _jit_front_twin_batch(imgs, cfg: SiftConfig, octaves: int):
     )
     # Cube-packed DoG rows: 3 row gathers per Newton cube instead of 9
     # (gather.CubeRows) — and ~45% smaller than the old DoG twin rows.
-    from sift_tpu.ops.pallas_relayout import cube_pack_rows
-
-    crows, cbases, cnbps = [], [], []
+    cbases, cnbps = [], []
     acc = 0
-    for d in dogs_all:
-        stride, sw, nbp = cube_rows_params(n, d.shape[-1])
-        r = cube_pack_rows(d)
+    for pk, p in zip(pk_all, plan):
+        stride, sw, nbp = cube_rows_params(n, p[1])
         cbases.append(acc)
         cnbps.append(nbp)
-        acc += r.shape[1]
-        crows.append(r)
+        acc += pk.shape[1]
     dmr = CubeRows(
-        rows=jnp.concatenate(crows, axis=1),
+        rows=jnp.concatenate(pk_all, axis=1),
         shapes=tuple((n, p[0], p[1]) for p in plan),
         nbps=tuple(cnbps),
         bases=tuple(cbases),

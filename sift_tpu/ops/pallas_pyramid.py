@@ -344,10 +344,10 @@ def fused_octave_front(
 
 
 def _octave_front_twin_kernel(
-    in_ref, gbuf_ref, gt_ref, dogs_ref, mask_ref, counts_ref,
+    in_ref, gbuf_ref, gt_ref, pk_ref, mask_ref, counts_ref,
     down_ref, *,
     taps_list, sum_ws, strip, halo, height, width, nbm, thr, blk, nbt,
-    g_l0, g_nl,
+    g_l0, g_nl, cstride, csw, cnbp,
 ):
     del gbuf_ref  # aliased into gt_ref
     x = in_ref[:]  # (ext, w): strip rows + halo each side (edge-padded seed)
@@ -385,6 +385,7 @@ def _octave_front_twin_kernel(
     thr_c = jnp.asarray(thr, dtype)
 
     prev = x
+    dogs_c = []  # center strips of every DoG layer (cube-packed below)
     win = []  # sliding [(center_rows, s3max, s3min)] of the last 3 DoGs
     for i in range(n):
         h = _h_pass(prev, taps_list[i], sum_ws[i])
@@ -396,10 +397,7 @@ def _octave_front_twin_kernel(
         if layer == n - 2:  # gauss[S-3], S = n+1: the next octave's seed
             down_ref[...] = v[halo:halo + strip, :]
         d = v - prev  # dog[i] = gauss[i+1] - gauss[i] (src/sift.cpp:217)
-        # Plain stack write: the DoG's only consumer is the Newton cube
-        # gather, which reads the cube-packed layout (gather.CubeRows)
-        # built from these stacks — the DoG twin rows are gone.
-        dogs_ref[i] = d[halo:halo + strip, :]
+        dogs_c.append(d[halo:halo + strip, :])
         dh = d[halo - 1:halo + strip + 1, :]
         win.append((dh[1:-1, :], _spatial3(dh, jnp.maximum),
                     _spatial3(dh, jnp.minimum)))
@@ -416,6 +414,26 @@ def _octave_front_twin_kernel(
             ).astype(jnp.int32)
             win.pop(0)
         prev = v
+
+    # Cube-packed DoG rows (gather.CubeRows): for each column block cb,
+    # lanes pack every layer's stored window [cb*cstride - 1,
+    # cb*cstride - 1 + csw) — built here from the VMEM-resident center
+    # strips so the plain DoG stacks never exist (the packed rows are the
+    # DoG's ONLY consumer, via the Newton cube gather).
+    right = (cnbp - 1) * cstride - 1 + csw
+    zpadw = max(0, right - w)
+    dpad = [
+        jnp.concatenate(
+            [jnp.zeros((strip, 1), dtype), dc]
+            + ([jnp.zeros((strip, zpadw), dtype)] if zpadw else []),
+            axis=1,
+        )
+        for dc in dogs_c
+    ]
+    lanepad = jnp.zeros((strip, 128 - n * csw), dtype)
+    for cb in range(cnbp):
+        pieces = [dp[:, cb * cstride : cb * cstride + csw] for dp in dpad]
+        pk_ref[:, cb, :] = jnp.concatenate(pieces + [lanepad], axis=1)
 
 
 def pick_strip_front_twin(
@@ -437,7 +455,8 @@ def pick_strip_front_twin(
         est = itemsize * (
             2 * ext * w                                # input, double buffered
             + 2 * strip * nl * nbt * 2 * blk           # gauss twins, x2
-            + 2 * strip * n * w                        # plain DoG out, x2
+            + 2 * strip * -(-w // 20) * 128            # packed DoG out, x2
+            + n * strip * w                            # DoG center strips
             + 2 * strip * (n_int * wpm + n_int * nbm + w)  # mask+counts+down
             + 6 * ext * w                              # blur temporaries
             + 3 * (strip + 2) * w                      # sliding haloed DoGs
@@ -483,8 +502,9 @@ def fused_octave_front_twin(
     img: (B, H, W) seed.  Writes gauss twin rows (stored layers
     [g_l0, g_l0 + g_nl)) into ``gbuf`` at row ``gbase``
     (strip-major/layer-minor layout, base block-aligned) and returns
-    ``(gbuf, dogs, mask, counts, down)`` where ``dogs`` is the plain
-    (B, n, H, W) DoG stack (feeding the cube-packed gather layout),
+    ``(gbuf, pk, mask, counts, down)`` where ``pk`` is the cube-packed DoG
+    row layout (B, nstrips * strip, nbp, 128) (gather.CubeRows row-major
+    order; rows past H are padding the cube gather never reads),
     mask/counts are as fused_octave_front and ``down`` is the plain gauss
     layer S-3.
     """
@@ -511,17 +531,23 @@ def fused_octave_front_twin(
     g_unit = g_nl * nbt * strip  # gauss twin rows per grid step
     assert gbase % g_unit == 0, gbase
 
+    from sift_tpu.ops.gather import cube_rows_params
+
+    cstride, csw, cnbp = cube_rows_params(n, w)
     kernel = partial(
         _octave_front_twin_kernel, taps_list=taps_list, sum_ws=sum_ws,
         strip=strip, halo=halo, height=h, width=w, nbm=nbm,
         thr=float(threshold), blk=blk, nbt=nbt, g_l0=g_l0, g_nl=g_nl,
+        cstride=cstride, csw=csw, cnbp=cnbp,
     )
     outs = pl.pallas_call(
         kernel,
         grid=(b, nstrips),
         out_shape=[
             jax.ShapeDtypeStruct(gbuf.shape, gbuf.dtype),
-            jax.ShapeDtypeStruct((b, n, h, w), img.dtype),
+            jax.ShapeDtypeStruct(
+                (b, nstrips * strip, cnbp, 128), img.dtype
+            ),
             jax.ShapeDtypeStruct((b, n - 2, h, w), img.dtype),
             jax.ShapeDtypeStruct((b, n - 2, h, nbm), jnp.int32),
             jax.ShapeDtypeStruct((b, h, w), img.dtype),
@@ -540,8 +566,8 @@ def fused_octave_front_twin(
                 lambda bi, s, gb=gbase // g_unit: (bi, gb + s, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((None, n, strip, w),
-                         lambda bi, s: (bi, 0, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, strip, cnbp, 128),
+                         lambda bi, s: (bi, s, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, n - 2, strip, w),
                          lambda bi, s: (bi, 0, s, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, n - 2, strip, nbm),
@@ -556,8 +582,8 @@ def fused_octave_front_twin(
         ),
         interpret=interpret,
     )(img_pad, gbuf)
-    gbuf, dogs, mask, counts, down = outs
-    return gbuf, dogs, mask, counts, down
+    gbuf, pk, mask, counts, down = outs
+    return gbuf, pk, mask, counts, down
 
 
 def twin_strided_xla(

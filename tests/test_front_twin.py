@@ -106,7 +106,7 @@ def test_fused_front_twin_matches_front(hw):
     nbt = -(-w // blk)
     nstrips = -(-h // st)
     gbuf = jnp.full((2, nstrips * g_nl * nbt * st, 2 * blk), -1.0, jnp.float32)
-    gbuf, dogs, m, c, down = fused_octave_front_twin(
+    gbuf, pk, m, c, down = fused_octave_front_twin(
         img, hks, thr, gbuf, 0, st, blk, g_l0, g_nl, interpret=True
     )
 
@@ -117,7 +117,14 @@ def test_fused_front_twin_matches_front(hw):
         np.asarray(down), np.asarray(g2[:, g2.shape[1] - 3])
     )
 
-    np.testing.assert_array_equal(np.asarray(dogs), np.asarray(d2))
+    # The kernel's cube-packed DoG rows == the XLA packing of the plain
+    # front's DoG stacks (rows past H are padding the gather never reads).
+    from sift_tpu.ops.gather import cube_rows_params, cube_rows_xla
+
+    _, _, nbp = cube_rows_params(n, w)
+    pk_ref = np.asarray(cube_rows_xla(d2))
+    pk_got = np.asarray(pk.reshape(2, -1, 128))[:, : h * nbp]
+    np.testing.assert_array_equal(pk_got, pk_ref)
     gt_ref = twin_strided_xla(g2, blk, st, g_l0, g_nl)
     # rows holding image rows >= H are padding (undefined); compare only
     # defined rows: strip s covers image rows [s*st, min(H, (s+1)*st))
