@@ -186,3 +186,51 @@ def test_gather_cubes_packed_matches_multi_rows():
     c_ref = np.asarray(gather_cubes_multi(mr, jnp.asarray(oct_id), zyx))
     c_new = np.asarray(gather_cubes_packed(cr, jnp.asarray(oct_id), zyx))
     np.testing.assert_array_equal(c_ref, c_new)
+
+
+def test_unit_gather_matches_per_row_path():
+    """with_row_units attached: gather_patches_multi's u-row unit fast path
+    (unit fetch + one-hot row/col extraction) is bit-identical to the
+    per-row gather, including negative/clamped window rows at image edges
+    and the wide two-block stitch."""
+    from sift_tpu.ops.pallas_pyramid import twin_strided_xla
+    from sift_tpu.ops.gather import (
+        MultiRows,
+        gather_patches_multi,
+        row_unit_size,
+        with_row_units,
+    )
+
+    rng = np.random.default_rng(11)
+    shapes = [(5, 64, 200), (5, 32, 100)]
+    vols = [jnp.asarray(rng.normal(size=s).astype(np.float32)) for s in shapes]
+    blk, st = 64, 16
+    rows, bases = [], []
+    acc = 0
+    for v in vols:
+        t = twin_strided_xla(v[None], blk, st, 0, v.shape[0])[0]
+        bases.append(acc)
+        acc += t.shape[0]
+        rows.append(t)
+    mr = MultiRows(
+        rows=jnp.concatenate(rows, 0), shapes=tuple(shapes), blk=blk,
+        nbs=tuple(-(-s[2] // blk) for s in shapes), bases=tuple(bases),
+        shp=(st.bit_length() - 1,) * 2, nls=tuple(s[0] for s in shapes),
+    )
+    mru = with_row_units(mr)
+    assert mru.rows_u is not None and row_unit_size(mr) == 8
+
+    n = 200
+    oct_id = jnp.asarray(rng.integers(0, 2, n).astype(np.int32))
+    hs = np.array([shapes[o][1] for o in np.asarray(oct_id)])
+    ws = np.array([shapes[o][2] for o in np.asarray(oct_id)])
+    layer = jnp.asarray(rng.integers(0, 5, n).astype(np.int32))
+    # Edge-heavy positions: include windows hanging off every border.
+    y = rng.integers(-5, 70, n) % (hs + 10) - 5
+    x = rng.integers(-5, 210, n) % (ws + 10) - 5
+    for patch in (9, 33, 80):  # narrow, mid, two-block wide
+        ys0 = jnp.asarray((y - patch // 2).astype(np.int32))
+        xs0 = jnp.asarray((x - patch // 2).astype(np.int32))
+        p_u = gather_patches_multi(mru, oct_id, layer, ys0, xs0, patch)
+        p_r = gather_patches_multi(mr, oct_id, layer, ys0, xs0, patch)
+        np.testing.assert_array_equal(np.asarray(p_u), np.asarray(p_r))
