@@ -79,10 +79,18 @@ def _solve_h_4pt(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
 
 
 def _apply_h(h: jnp.ndarray, pts: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    """(..., 3, 3) x (..., N, 2) -> (..., N, 2) projective transform."""
+    """(..., 3, 3) x (..., N, 2) -> (..., N, 2) projective transform.
+
+    HIGHEST precision is load-bearing: with DEFAULT, TPU f32 einsums run in
+    bf16 (8-bit mantissa), which quantizes canvas coordinates >= 1024 to
+    8-16 px steps — the warped sources sampled on a visible pixel-block
+    grid over the right half of wide panoramas (round-3/4 CAVE-04 defect).
+    """
     ones = jnp.ones_like(pts[..., :1])
     ph = jnp.concatenate([pts, ones], axis=-1)
-    out = jnp.einsum("...ij,...nj->...ni", h, ph)
+    out = jnp.einsum(
+        "...ij,...nj->...ni", h, ph, precision=jax.lax.Precision.HIGHEST
+    )
     w = out[..., 2:3]
     w = jnp.where(jnp.abs(w) < eps, eps, w)
     return out[..., :2] / w

@@ -111,3 +111,35 @@ def test_overlap_consistency_detects_misalignment():
     bad = overlap_consistency([a, b], [t @ ha, t @ hb_bad], oh, ow)
     assert good < 1.0, good
     assert bad > good * 3, (good, bad)
+
+
+def test_warp_coordinates_exact_at_large_canvas_offsets():
+    """Integer-translation warps are exact pixel copies EVERYWHERE on a
+    wide canvas.
+
+    Regression guard for a real defect: _apply_h's einsum at DEFAULT
+    precision runs in bf16 on TPU, quantizing canvas coordinates >= 1024
+    to 8-16 px steps — warped sources sampled on a visible block grid over
+    the right half of wide panoramas.  With HIGHEST precision the integer
+    translation reproduces the source bit-exactly at x ~ 1900.
+    """
+    import jax.numpy as jnp
+
+    from sift_tpu.models.stitch import _warp_accumulate_impl
+
+    rng = np.random.default_rng(5)
+    img = rng.uniform(0, 255, (64, 96, 3)).astype(np.float32)
+    tx, ty = 1800, 900  # far corner of a wide canvas
+    h_canvas = np.array(
+        [[1, 0, tx], [0, 1, ty], [0, 0, 1]], np.float64
+    )
+    h_inv = np.linalg.inv(h_canvas).astype(np.float32)
+    acc, wgt = _warp_accumulate_impl(
+        jnp.asarray(img), jnp.asarray(h_inv), 1024, 1984
+    )
+    acc = np.asarray(acc)[ty : ty + 64, tx : tx + 96]
+    w = np.asarray(wgt)[ty : ty + 64, tx : tx + 96]
+    inner = (slice(1, 63), slice(1, 95))
+    assert (w[inner] > 0).all()
+    got = acc[inner] / w[inner][:, :, None]  # un-feather
+    np.testing.assert_allclose(got, img[inner], rtol=0, atol=1e-4)
