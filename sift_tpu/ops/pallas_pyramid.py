@@ -441,11 +441,14 @@ def pick_strip_front_twin(
 ) -> int | None:
     """Largest power-of-two strip keeping the twin front kernel in VMEM.
 
-    Budget is slightly above the generic _VMEM_BUDGET: the estimate below is
-    conservative (double-counts double-buffered outputs against blur
-    temporaries), and the strip height directly controls the halo-recompute
-    overhead (ext/strip) — measured on-chip, strip 32 at the doubled-640x480
-    octave beats strip 16 by ~25% on the whole front stage."""
+    The estimate below over-counts real VMEM residency ~2.5-3x (it
+    double-counts double-buffered outputs against blur temporaries, and
+    Mosaic reuses dead buffers): strip 128 at the doubled-640x480 octave
+    (est 39 MB) compiles and runs on the 16 MB chip, beats strip 32 by
+    ~6 ms per batch-16 sweep (halo recompute is ext/strip), and keeps the
+    oracle match set exactly.  The 40 MB budget is calibrated to that
+    empirical fit; Mosaic rejects at compile (loudly, not silently) if a
+    config really exceeds VMEM."""
     nbm = -(-w // 128)
     nbt = -(-w // blk)
     wpm = nbm * 128
@@ -462,7 +465,7 @@ def pick_strip_front_twin(
             + 3 * (strip + 2) * w                      # sliding haloed DoGs
             + 2 * 3 * strip * w                        # sliding spatial
         )
-        if est <= 13 * 1024 * 1024:
+        if est <= 40 * 1024 * 1024:
             return strip
     return None
 
