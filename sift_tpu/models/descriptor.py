@@ -266,7 +266,7 @@ def compute_descriptors_all(
     pad_n = nchunk * chunk - n
 
     if dispatch_radius:
-        radii = [r for r in (24, 32) if r < r_max] + [r_max]
+        radii = [r for r in (20, 24, 28, 32, 36) if r < r_max] + [r_max]
         thresholds = jnp.asarray(radii, jnp.int32)
 
         def zero_chunk(args):

@@ -495,7 +495,9 @@ def detect_and_describe_batch(
         kp, off0, (n_ext, n_ref, n_active) = _jit_detect_refine_counts_mr(
             masks, counts, dmr, cfg
         )
-        mr = gmr
+        # One unit-view relayout per sweep, shared by orientation +
+        # descriptors (each stage's with_row_units then no-ops).
+        mr = _jit_attach_units(gmr)
     else:
         gaussians, dogs = _jit_pyramids_batch(imgs, cfg, octaves)
         kp, off0, (n_ext, n_ref, n_active) = _jit_detect_refine_batch(dogs, cfg)
@@ -536,6 +538,13 @@ def _detect_jit(img, cfg: SiftConfig, octaves: int) -> Keypoints:
 # --- per-octave staged path: the f64 bit-parity profile and stage-level
 # debugging view (mirrors the stage boundaries of src/sift.cpp:712-776).
 # Production throughput lives in the fused path above. ---
+
+
+@jax.jit
+def _jit_attach_units(mr):
+    from sift_tpu.ops.gather import attach_row_units_batched
+
+    return attach_row_units_batched(mr)
 
 
 @partial(jax.jit, static_argnums=(1, 2))

@@ -261,6 +261,11 @@ def merge_batch_multi_rows(mr: MultiRows, b: int) -> MultiRows:
         bases=tuple(bi * r + base for bi in range(b) for base in mr.bases),
         shp=(mr.shp * b if mr.shp is not None else None),
         nls=(mr.nls * b if mr.nls is not None else None),
+        # A pre-attached unit view (attach_row_units_batched) is already in
+        # merged coordinates — (B*R/u, u*2blk) is the same byte order
+        # whether built from the batched or the merged rows.
+        rows_u=mr.rows_u,
+        unit=mr.unit,
     )
 
 
@@ -326,6 +331,22 @@ def with_row_units(mr: MultiRows, cap: int = 8) -> MultiRows:
         return mr
     return dataclasses.replace(
         mr, rows_u=mr.rows.reshape(-1, u * mr.rows.shape[1]), unit=u
+    )
+
+
+def attach_row_units_batched(mr: MultiRows, cap: int = 8) -> MultiRows:
+    """with_row_units for a BATCHED MultiRows (rows (B, R, 2blk)).
+
+    The unit view is built in merged coordinates ((B*R/u, u*2blk)); the
+    tiled-layout relayout it implies (~2 ms for a 16-frame pyramid) then
+    runs ONCE per sweep instead of once per consuming stage — call this in
+    the producing stage's program and let merge_batch_multi_rows carry it.
+    """
+    u = row_unit_size(mr, cap)
+    if u < 4 or mr.rows_u is not None:
+        return mr
+    return dataclasses.replace(
+        mr, rows_u=mr.rows.reshape(-1, u * mr.rows.shape[-1]), unit=u
     )
 
 
