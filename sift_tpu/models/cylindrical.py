@@ -335,6 +335,30 @@ def stitch_scene_cylindrical(
         len(images), graph.center_index, edges, alphas, translations, weights
     )
 
+    # IRLS refinement: two reweighted re-solves, down-weighting edges whose
+    # MATCHED FEATURES disagree with the solved global poses (median canvas
+    # residual, Cauchy weight at sigma = 4 px).  A wide sweep always has a
+    # few edges whose pairwise rigid fights the global solution (parallax,
+    # scene motion on billboards/crowds); letting them pull at full weight
+    # is what left ~7 px median edge residuals on CAVE-04.
+    pts_by_edge = {(a, b): (p1, p2, ok) for a, b, p1, p2, ok in results}
+    sigma = 4.0
+    for _ in range(2):
+        new_w = []
+        for (a, b), w0 in zip(edges, weights):
+            p1, p2, ok = pts_by_edge[(a, b)]
+            if ok.sum() == 0:
+                new_w.append(w0)
+                continue
+            ca = p1[ok] @ _rot2(phis[a]).T + offsets[a]
+            cb = p2[ok] @ _rot2(phis[b]).T + offsets[b]
+            r = float(np.median(np.linalg.norm(ca - cb, axis=1)))
+            new_w.append(w0 / (1.0 + (r / sigma) ** 2))
+        phis, offsets = solve_global_rigid(
+            len(images), graph.center_index, edges, alphas, translations,
+            new_w,
+        )
+
     # Drop images not reachable from the center through SURVIVING edges:
     # their offsets are unconstrained (lstsq minimum-norm ~ 0) and would
     # paste them straight onto the panorama center.
