@@ -144,6 +144,19 @@ def main() -> None:
     rows.append(m)
     print(json.dumps(m), flush=True)
 
+    # Same multi-pass loop with retrieval loop closure ON (opt-in feature;
+    # inter-pass drift is exactly what it corrects — see models/sfm.run_sfm).
+    t0 = time.time()
+    res = run_sfm(frames, k, cfg, ba_iters=20, loop_closure=True)
+    el = time.time() - t0
+    m = _metrics(_recover_centers(res, len(frames)), gt)
+    m.update(seq=f"bigloop-{len(ts)}+closure", frames=len(ts),
+             seconds=round(el, 1), points=res.info["n_points"],
+             obs=res.info["n_obs"], pruned=res.info.get("pruned_obs", 0),
+             loop_pairs=res.info.get("loop_pairs_added", 0))
+    rows.append(m)
+    print(json.dumps(m), flush=True)
+
     if args.out:
         lines = [
             "",

@@ -88,3 +88,31 @@ def test_verify_small_pairs_pass_through():
     m = np.stack([np.arange(10), np.arange(10)], 1)
     out = _geometric_verify([uv, uv + 5], {(0, 1): m}, K, seed=0)
     np.testing.assert_array_equal(out[(0, 1)], m)
+
+
+def test_loop_closure_candidates_gap_and_similarity():
+    """Retrieval proposals: only frames >= min_gap apart whose global
+    descriptors agree closely; near-window and dissimilar frames never
+    propose."""
+    from sift_tpu.models.sfm import loop_closure_candidates
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(40, 128)).astype(np.float32)
+    b = rng.normal(size=(40, 128)).astype(np.float32)
+    descs = []
+    for i in range(12):
+        # frames 0..5 share appearance A, 6..11 appearance B, except frame
+        # 10 which REVISITS appearance A (plus small noise).
+        base = a if (i < 6 or i == 10) else b
+        descs.append(
+            np.clip(base + rng.normal(0, 0.05, base.shape), -3, 3) * 40 + 120
+        )
+    cands = loop_closure_candidates(descs, min_gap=8, min_sim=0.95)
+    assert all(j - i >= 8 for i, j in cands)
+    # the A-revisit must be proposed against an early A frame
+    assert any(j == 10 and i < 6 for i, j in cands), cands
+    # no A<->B cross proposals
+    for i, j in cands:
+        ia = i < 6 or i == 10
+        ja = j < 6 or j == 10
+        assert ia == ja, (i, j)
