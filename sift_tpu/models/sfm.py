@@ -645,8 +645,9 @@ def run_sfm(images, intrinsics, cfg=None, ba_iters: int = 25,
     (loop_closure_candidates), pose-prior-gated, are matched and added to
     the pair graph — multi-pass trajectories revisiting a viewpoint
     outside the temporal window are otherwise unconstrained and drift
-    apart (bigloop-97: 8.90% -> 0.65% of path ATE with closure on; every
-    added pair still passes the GRIC geometric verifier downstream).
+    apart (bigloop-97: 8.90% -> 4.27% of path ATE with the shipped pair
+    selection; every added pair still passes the GRIC geometric verifier
+    downstream).
     Default OFF: on an already-tight there-and-back loop the added
     near-duplicate zero-baseline observations measurably nudge the solve
     (loop-49: 1.29% -> 3.67%), and a principled accept test needs an
@@ -723,7 +724,7 @@ def run_sfm(images, intrinsics, cfg=None, ba_iters: int = 25,
         # zero-baseline observations — no new constraints, measured to
         # nudge an already-tight loop (1.29% -> 3.7% ATE) — so skip them.
         gap = float(np.linalg.norm(centers[i] - centers[j]))
-        if gap > 0.1 * path:
+        if gap > 0.1 * path or gap < 0.02 * path:
             continue
         m = match_pair(i, j)
         if len(m) >= 24:  # enough support for a verifiable two-view model

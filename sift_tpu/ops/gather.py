@@ -641,7 +641,12 @@ def cube_rows_params(n_layers: int, w: int) -> tuple[int, int, int]:
     """(stride, sw, nbp) of the packed layout for an n_layers-deep octave."""
     sw = 128 // n_layers
     stride = sw - 3
-    nbp = max(1, -(-max(w - 3, 1) // stride))
+    # ceil((w-2)/stride), NOT ceil((w-3)/stride): interior x ranges up to
+    # w-2, which lives in block (w-3)//stride — when (w-3) % stride == 0
+    # that is one past ceil((w-3)/stride)-1, and the clip in
+    # gather_cubes_packed would silently alias the dx=+1 lane into the
+    # next DoG layer (advisor round-4 high finding, e.g. w=69 / stride 22).
+    nbp = max(1, -(-max(w - 2, 1) // stride))
     return stride, sw, nbp
 
 

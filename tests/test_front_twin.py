@@ -159,7 +159,10 @@ def test_gather_cubes_packed_matches_multi_rows():
     )
 
     rng = np.random.default_rng(0)
-    shapes = [(5, 40, 200), (5, 20, 100), (5, 9, 23)]
+    # (5, 40, 69): (w-3) % stride == 0 (stride 22) — the advisor's round-4
+    # case where nbp was one block short and x = w-2 aliased into the next
+    # DoG layer's lanes.
+    shapes = [(5, 40, 200), (5, 20, 100), (5, 9, 23), (5, 40, 69)]
     vols = [jnp.asarray(rng.normal(size=s).astype(np.float32)) for s in shapes]
     mr = build_multi_rows(vols, blk=64)
     rows, bases, nbps = [], [], []
@@ -176,12 +179,20 @@ def test_gather_cubes_packed_matches_multi_rows():
         nbps=tuple(nbps), bases=tuple(bases), stride=stride, sw=sw,
     )
     n = 500
-    oct_id = rng.integers(0, 3, n).astype(np.int32)
+    oct_id = rng.integers(0, len(shapes), n).astype(np.int32)
     hs = np.array([shapes[o][1] for o in oct_id])
     ws = np.array([shapes[o][2] for o in oct_id])
     z = rng.integers(1, 4, n)
     y = 1 + rng.integers(0, 1000, n) % (hs - 2)
     x = 1 + rng.integers(0, 1000, n) % (ws - 2)
+    # Pin the last-interior-column case (x = w-2) on every octave,
+    # including the stride-divisible w=69 one.
+    for i, o in enumerate(range(len(shapes))):
+        oct_id[i] = o
+        x[i] = shapes[o][2] - 2
+        hs[i] = shapes[o][1]
+        ws[i] = shapes[o][2]
+        y[i] = min(y[i], hs[i] - 2)
     zyx = jnp.asarray(np.stack([z, y, x], -1).astype(np.int32))
     c_ref = np.asarray(gather_cubes_multi(mr, jnp.asarray(oct_id), zyx))
     c_new = np.asarray(gather_cubes_packed(cr, jnp.asarray(oct_id), zyx))

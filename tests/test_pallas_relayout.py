@@ -145,7 +145,9 @@ def test_cube_pack_rows_matches_xla():
     from sift_tpu.ops.pallas_relayout import cube_pack_rows
 
     rng = np.random.default_rng(3)
-    for shape in [(2, 5, 96, 200), (1, 5, 70, 23), (2, 5, 9, 47)]:
+    # (1, 5, 40, 69): stride-divisible width ((w-3) % 22 == 0) — the extra
+    # last block from the advisor's round-4 nbp fix must round-trip too.
+    for shape in [(2, 5, 96, 200), (1, 5, 70, 23), (2, 5, 9, 47), (1, 5, 40, 69)]:
         d = jnp.asarray(rng.normal(size=shape).astype(np.float32))
         ref = np.asarray(cube_rows_xla(d))
         got = np.asarray(cube_pack_rows(d, interpret=True))
