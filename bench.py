@@ -164,9 +164,11 @@ def main() -> None:
                 for _ in range(k_sweeps):
                     frames = [next(loader) for _ in range(B)]
                     # Ship u8 and convert on device: JPEG pixels are
-                    # integral, and the axon tunnel's H2D bandwidth (not
-                    # decode or compute) is this mode's bottleneck — f32
-                    # transfers cost 4x the bytes for nothing.
+                    # integral, and the axon tunnel's H2D bandwidth is this
+                    # mode's MEASURED bottleneck (scripts/probe_h2d.py:
+                    # 44.0 MB/s raw device_put ceiling -> 47.8 fps max at
+                    # B=16; the loop runs at ~100% of that, with decode,
+                    # pack and compute fully overlapped — see PERF.md).
                     dev = jnp.asarray(np.stack(frames).astype(np.uint8))
                     kp_s = detect_and_describe_batch(dev, cfg_s)
                     _, out, _, _ = matcher(
@@ -205,10 +207,28 @@ def main() -> None:
                 out = run_stream(ks)
                 fence(out)
                 per.append((time.perf_counter() - t0) / ks)
+            # Raw tunnel H2D ceiling, measured in-run: stream_fps is
+            # transfer-bound (PERF.md), so record the ceiling beside it.
+            bufs = [rng.integers(0, 255, (B, 480, 640, 3), dtype=np.uint8)
+                    for rng in [np.random.default_rng(1)] for _ in range(4)]
+            _ = np.asarray(jax.device_put(bufs[0])[0, 0, 0])
+            h2d = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                last = None
+                for i in range(4):
+                    last = jax.device_put(bufs[i])
+                _ = np.asarray(last[0, 0, 0])
+                h2d.append((time.perf_counter() - t0) / 4)
+            h2d_s = statistics.median(h2d)
             stream = {
                 "stream_fps": round(B / statistics.median(per), 3),
                 "stream_method": f"JPEG decode + H2D in-window, {ks} sweeps "
                                  f"x {rs}, threaded native loader",
+                "stream_h2d_ceiling_fps": round(B / h2d_s, 3),
+                "stream_h2d_MBps": round(
+                    B * 480 * 640 * 3 / h2d_s / 1e6, 1
+                ),
             }
         except Exception as e:  # pragma: no cover - report, don't fail bench
             stream = {"stream_error": str(e)[:200]}
