@@ -46,7 +46,7 @@ from sift_tpu.ops.pallas_desc import desc_hist_band_pallas
 from sift_tpu.utils.keypoints import Keypoints
 from sift_tpu.utils.numerics import round_half_away
 
-DESC_CHUNK = 128
+DESC_CHUNK = 256
 
 
 def desc_radius_bound(cfg: SiftConfig) -> int:

@@ -41,7 +41,7 @@ from sift_tpu.utils.numerics import round_half_away
 
 # Keypoint-chunk size for histogram accumulation (memory/VMEM bound, not
 # semantics).
-ORI_CHUNK = 256
+ORI_CHUNK = 512
 
 
 def max_size_octave(cfg: SiftConfig) -> float:

@@ -195,15 +195,38 @@ def _jit_front_twin_batch(imgs, cfg: SiftConfig, octaves: int):
     plan, g_total, hks, g_l0, g_nl, n, blk = _front_twin_plan(
         cfg, octaves, h1, w1
     )
-    gbuf = jnp.zeros((b, g_total, 2 * blk), cfg.dtype)
+    # The kernels emit the u-row-unit VIEW of the twin layout natively
+    # (gbuf row i = twin rows [i*u, (i+1)*u) side by side), so the
+    # per-sweep attach_row_units_batched relayout (~2 ms) — and the
+    # pass-through copies of the 2x-inflated rows it implied — never
+    # happen; consumers run the unit gather fast path directly.
+    u = min(8, *(p[2] for p in plan))
+    gbuf = jnp.zeros((b, g_total // u, u * 2 * blk), cfg.dtype)
     masks, counts, pk_all = [], [], []
     for h, w, st, fits, nbt, gbase in plan:
         if fits:
-            # pk: cube-packed DoG rows straight from the kernel (the plain
-            # DoG stacks never exist on this path).
-            gbuf, pk, m, c, down = fused_octave_front_twin(
-                img, hks, thr, gbuf, gbase, st, blk, g_l0, g_nl
-            )
+            g_unit = g_nl * nbt * st
+            if g_unit % (8 * u) == 0:
+                # pk: cube-packed DoG rows straight from the kernel (the
+                # plain DoG stacks never exist on this path).
+                gbuf, pk, m, c, down = fused_octave_front_twin(
+                    img, hks, thr, gbuf, gbase, st, blk, g_l0, g_nl, unit=u
+                )
+            else:
+                # Small octave whose unit-view block is not sublane-aligned
+                # (g_unit // u % 8 != 0, Mosaic rejects the out spec): run
+                # the kernel in twin-row mode into a temp and fold the
+                # (cheap, tail-octave-sized) reshape in XLA.
+                nstr = -(-h // st)
+                tmp = jnp.zeros((b, nstr * g_unit, 2 * blk), cfg.dtype)
+                tmp, pk, m, c, down = fused_octave_front_twin(
+                    img, hks, thr, tmp, 0, st, blk, g_l0, g_nl
+                )
+                gbuf = jax.lax.dynamic_update_slice(
+                    gbuf,
+                    tmp.reshape(b, nstr * g_unit // u, u * 2 * blk),
+                    (0, gbase // u, 0),
+                )
             pk = pk.reshape(b, -1, 128)
             wpm = -(-w // 128) * 128
             if wpm > w:  # lane-pad to whole 128-blocks (small octaves only)
@@ -211,7 +234,8 @@ def _jit_front_twin_batch(imgs, cfg: SiftConfig, octaves: int):
         else:
             g, d, m, c = octave_front_xla(img, hks, thr, cfg.window_size)
             gt = twin_strided_xla(g, blk, st, g_l0, g_nl)
-            gbuf = jax.lax.dynamic_update_slice(gbuf, gt, (0, gbase, 0))
+            gt = gt.reshape(b, gt.shape[1] // u, u * 2 * blk)
+            gbuf = jax.lax.dynamic_update_slice(gbuf, gt, (0, gbase // u, 0))
             down = g[:, g.shape[1] - 3]
             pk = cube_pack_rows(d)
         masks.append(m)
@@ -220,7 +244,7 @@ def _jit_front_twin_batch(imgs, cfg: SiftConfig, octaves: int):
         img = downsample_nearest_x2(down)
     shp = tuple(p[2].bit_length() - 1 for p in plan)
     gmr = MultiRows(
-        rows=gbuf,
+        rows=None,
         shapes=tuple((n + 1, p[0], p[1]) for p in plan),
         blk=blk,
         nbs=tuple(p[4] for p in plan),
@@ -228,6 +252,12 @@ def _jit_front_twin_batch(imgs, cfg: SiftConfig, octaves: int):
         bases=tuple(p[5] - g_l0 * p[4] * p[2] for p in plan),
         shp=shp,
         nls=(g_nl,) * octaves,
+        # Flat merged coordinates ((B*G/u, u*2blk)).  Measured A/B: emitting
+        # the batched 3D view and collapsing inside each consumer program
+        # costs MORE (161 vs 175 fps — the collapse materializes per
+        # consumer), so the one producer-side reshape stays.
+        rows_u=gbuf.reshape(-1, u * 2 * blk),
+        unit=u,
     )
     # Cube-packed DoG rows: 3 row gathers per Newton cube instead of 9
     # (gather.CubeRows) — and ~45% smaller than the old DoG twin rows.
@@ -495,9 +525,9 @@ def detect_and_describe_batch(
         kp, off0, (n_ext, n_ref, n_active) = _jit_detect_refine_counts_mr(
             masks, counts, dmr, cfg
         )
-        # One unit-view relayout per sweep, shared by orientation +
-        # descriptors (each stage's with_row_units then no-ops).
-        mr = _jit_attach_units(gmr)
+        # The front kernels emit the unit view natively (rows_u set); the
+        # explicit relayout program only remains for layouts without it.
+        mr = gmr if gmr.rows_u is not None else _jit_attach_units(gmr)
     else:
         gaussians, dogs = _jit_pyramids_batch(imgs, cfg, octaves)
         kp, off0, (n_ext, n_ref, n_active) = _jit_detect_refine_batch(dogs, cfg)

@@ -194,7 +194,10 @@ class MultiRows:
     index of image row (s, y) block b is ``(s * H_o + y) * nbs[o] + b``.
     """
 
-    rows: jnp.ndarray  # (sum_o S_o * H_o * nbs_o, 2 * blk)
+    # (sum_o S_o * H_o * nbs_o, 2 * blk); None when the producer emitted
+    # ONLY the unit view natively (rows_u set) — every production consumer
+    # then takes the unit fast path and the per-row layout never exists.
+    rows: jnp.ndarray | None
     shapes: tuple = dataclasses.field(metadata=dict(static=True))
     blk: int = dataclasses.field(metadata=dict(static=True))
     nbs: tuple = dataclasses.field(metadata=dict(static=True))
@@ -252,9 +255,20 @@ def merge_batch_multi_rows(mr: MultiRows, b: int) -> MultiRows:
     one image) into a single gather space over B * len(shapes) volumes, so a
     flattened (B x capacity) lane buffer can index volume = img * O + octave.
     """
-    r = mr.rows.shape[1]
+    if mr.rows is not None:
+        r = mr.rows.shape[1]
+        rows = mr.rows.reshape(b * r, mr.rows.shape[2])
+    else:
+        # Native unit-only layout: per-image twin-row count from the flat
+        # unit view ((B*R/u, u*2blk), producer-collapsed — measured cheaper
+        # than collapsing per consumer program).
+        r = mr.rows_u.shape[0] * mr.unit // b
+        rows = None
+    rows_u = mr.rows_u
+    if rows_u is not None and rows_u.ndim == 3:
+        rows_u = rows_u.reshape(-1, rows_u.shape[-1])
     return MultiRows(
-        rows=mr.rows.reshape(b * r, mr.rows.shape[2]),
+        rows=rows,
         shapes=mr.shapes * b,
         blk=mr.blk,
         nbs=mr.nbs * b,
@@ -264,7 +278,7 @@ def merge_batch_multi_rows(mr: MultiRows, b: int) -> MultiRows:
         # A pre-attached unit view (attach_row_units_batched) is already in
         # merged coordinates — (B*R/u, u*2blk) is the same byte order
         # whether built from the batched or the merged rows.
-        rows_u=mr.rows_u,
+        rows_u=rows_u,
         unit=mr.unit,
     )
 

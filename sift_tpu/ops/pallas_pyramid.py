@@ -347,7 +347,7 @@ def _octave_front_twin_kernel(
     in_ref, gbuf_ref, gt_ref, pk_ref, mask_ref, counts_ref,
     down_ref, *,
     taps_list, sum_ws, strip, halo, height, width, nbm, thr, blk, nbt,
-    g_l0, g_nl, cstride, csw, cnbp,
+    g_l0, g_nl, cstride, csw, cnbp, unit,
 ):
     del gbuf_ref  # aliased into gt_ref
     x = in_ref[:]  # (ext, w): strip rows + halo each side (edge-padded seed)
@@ -364,9 +364,21 @@ def _octave_front_twin_kernel(
                 [xt, jnp.zeros((strip, wpt - w), dtype)], axis=1
             )
         for bb in range(nbt):
-            ref[(slot * nbt + bb) * strip : (slot * nbt + bb + 1) * strip, :] = (
-                xt[:, bb * blk : (bb + 2) * blk]
-            )
+            tw = xt[:, bb * blk : (bb + 2) * blk]  # (strip, 2blk)
+            if unit > 1:
+                # Emit the u-row-unit view NATIVELY: u consecutive image
+                # rows of one (strip, layer, block) group collapse into one
+                # (u * 2blk)-lane row (pure data movement — the reshape is
+                # the same sublane->lane relayout attach_row_units_batched
+                # used to pay ~2 ms/sweep for in XLA).
+                su = strip // unit
+                ref[(slot * nbt + bb) * su : (slot * nbt + bb + 1) * su, :] = (
+                    tw.reshape(su, unit * 2 * blk)
+                )
+            else:
+                ref[
+                    (slot * nbt + bb) * strip : (slot * nbt + bb + 1) * strip, :
+                ] = tw
 
     # Mask plumbing (emitted layer-by-layer below; interleaving the extremum
     # window with the blur chain keeps only a SLIDING 3-layer window of
@@ -499,6 +511,7 @@ def fused_octave_front_twin(
     g_l0: int = 1,
     g_nl: int | None = None,
     interpret: bool | None = None,
+    unit: int = 1,
 ):
     """One octave, one kernel: gauss twin rows in place + plain DoG stack.
 
@@ -510,6 +523,13 @@ def fused_octave_front_twin(
     order; rows past H are padding the cube gather never reads),
     mask/counts are as fused_octave_front and ``down`` is the plain gauss
     layer S-3.
+
+    ``unit`` > 1: ``gbuf`` is the u-row-unit VIEW of the twin layout —
+    shape (B, G // u, u * 2 * blk), row i holding twin rows
+    [i * u, (i + 1) * u) — and ``gbase`` stays in TWIN-ROW units (must be
+    divisible by u).  Same bytes as unit == 1 + an XLA reshape; emitting
+    the unit view natively deletes the per-sweep relayout copy
+    (gather.attach_row_units_batched).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -517,6 +537,7 @@ def fused_octave_front_twin(
     n = len(half_kernels)
     if g_nl is None:
         g_nl = n - 2  # layers [1, intervals]
+    assert strip % unit == 0 and gbase % max(unit, 1) == 0, (strip, unit, gbase)
     nbm = -(-w // 128)
     nbt = -(-w // blk)
     taps_list = tuple(tuple(float(t) for t in hk) for hk in half_kernels)
@@ -541,7 +562,7 @@ def fused_octave_front_twin(
         _octave_front_twin_kernel, taps_list=taps_list, sum_ws=sum_ws,
         strip=strip, halo=halo, height=h, width=w, nbm=nbm,
         thr=float(threshold), blk=blk, nbt=nbt, g_l0=g_l0, g_nl=g_nl,
-        cstride=cstride, csw=csw, cnbp=cnbp,
+        cstride=cstride, csw=csw, cnbp=cnbp, unit=unit,
     )
     outs = pl.pallas_call(
         kernel,
@@ -565,7 +586,7 @@ def fused_octave_front_twin(
         ],
         out_specs=[
             pl.BlockSpec(
-                (None, g_unit, 2 * blk),
+                (None, g_unit // unit, unit * 2 * blk),
                 lambda bi, s, gb=gbase // g_unit: (bi, gb + s, 0),
                 memory_space=pltpu.VMEM,
             ),

@@ -75,11 +75,18 @@ def spatial_detect_and_describe(
     cfg: SiftConfig,
     mesh: Mesh,
     axis: str = "data",
+    max_octaves: int | None = None,
 ) -> Keypoints:
     """Detect+describe ONE (H, W[, C]) image with rows sharded over ``axis``.
 
     Returns a replicated global Keypoints buffer (capacity ``cfg.ori_cap``)
     equal to the staged single-device pipeline after dedup (see tests).
+
+    ``max_octaves`` caps the pyramid depth (compared against a staged run
+    with the same cap).  The per-octave unrolled pipeline costs ~2 min of
+    XLA:CPU compile per octave on a small host, so compile-budgeted callers
+    (the driver's multichip dryrun) cap the depth; production runs leave it
+    None.
     """
     d = mesh.shape[axis]
     cfg = dataclasses.replace(
@@ -90,6 +97,8 @@ def spatial_detect_and_describe(
     h_in, w_in = img.shape[0], img.shape[1]
     scale = 2 if cfg.double_image_size else 1
     octaves = cfg.octaves_count(w_in * scale, h_in * scale)
+    if max_octaves is not None:
+        octaves = min(octaves, max_octaves)
     dims = _octave_dims(h_in * scale, w_in * scale, octaves)
     halo = spatial_halo(cfg)
     kernels = cfg.gaussian_kernels()

@@ -144,6 +144,21 @@ def test_fused_front_twin_matches_front(hw):
         np.asarray(gbuf)[:, gm], np.asarray(gt_ref)[:, gm]
     )
 
+    # Native u-row-unit emission (production path): the unit-view buffer is
+    # exactly the (R, 2blk) -> (R/u, u*2blk) reshape of the twin buffer —
+    # same bytes, no relayout pass.
+    u = 8
+    R = nstrips * g_nl * nbt * st
+    gbuf_u = jnp.full((2, R // u, u * 2 * blk), -1.0, jnp.float32)
+    gbuf_u, pk_u, m_u, c_u, down_u = fused_octave_front_twin(
+        img, hks, thr, gbuf_u, 0, st, blk, g_l0, g_nl, interpret=True, unit=u
+    )
+    np.testing.assert_array_equal(np.asarray(m_u), np.asarray(m2))
+    np.testing.assert_array_equal(
+        np.asarray(gbuf_u).reshape(2, R, 2 * blk)[:, gm],
+        np.asarray(gt_ref)[:, gm],
+    )
+
 
 def test_gather_cubes_packed_matches_multi_rows():
     """The cube-packed layout (gather.CubeRows) returns bit-identical cubes
