@@ -465,7 +465,7 @@ def pick_strip_front_twin(
     nbt = -(-w // blk)
     wpm = nbm * 128
     n_int = n - 2
-    for strip in (128, 64, 32, 16, 8):
+    for strip in (256, 128, 64, 32, 16, 8):
         ext = -(-(strip + 2 * halo) // 8) * 8
         est = itemsize * (
             2 * ext * w                                # input, double buffered
@@ -477,7 +477,7 @@ def pick_strip_front_twin(
             + 3 * (strip + 2) * w                      # sliding haloed DoGs
             + 2 * 3 * strip * w                        # sliding spatial
         )
-        if est <= 40 * 1024 * 1024:
+        if est <= 80 * 1024 * 1024:
             return strip
     return None
 
