@@ -201,7 +201,12 @@ def _jit_front_twin_batch(imgs, cfg: SiftConfig, octaves: int):
     # pass-through copies of the 2x-inflated rows it implied — never
     # happen; consumers run the unit gather fast path directly.
     u = min(8, *(p[2] for p in plan))
-    gbuf = jnp.zeros((b, g_total // u, u * 2 * blk), cfg.dtype)
+    # The first fitting octave's kernel CREATES the buffer (ShapeDtypeStruct
+    # sentinel -> no aliased input): skips the XLA zeros-fill of the ~800 MB
+    # batch-16 gather space.  Blocks outside written octave regions stay
+    # undefined — gathers never index them (bases skip alignment gaps; rows
+    # past H within a region are kernel-written padding).
+    gbuf = jax.ShapeDtypeStruct((b, g_total // u, u * 2 * blk), cfg.dtype)
     masks, counts, pk_all = [], [], []
     for h, w, st, fits, nbt, gbase in plan:
         if fits:
@@ -218,10 +223,14 @@ def _jit_front_twin_batch(imgs, cfg: SiftConfig, octaves: int):
                 # the kernel in twin-row mode into a temp and fold the
                 # (cheap, tail-octave-sized) reshape in XLA.
                 nstr = -(-h // st)
-                tmp = jnp.zeros((b, nstr * g_unit, 2 * blk), cfg.dtype)
+                tmp = jax.ShapeDtypeStruct(
+                    (b, nstr * g_unit, 2 * blk), cfg.dtype
+                )
                 tmp, pk, m, c, down = fused_octave_front_twin(
                     img, hks, thr, tmp, 0, st, blk, g_l0, g_nl
                 )
+                if isinstance(gbuf, jax.ShapeDtypeStruct):
+                    gbuf = jnp.zeros(gbuf.shape, gbuf.dtype)
                 gbuf = jax.lax.dynamic_update_slice(
                     gbuf,
                     tmp.reshape(b, nstr * g_unit // u, u * 2 * blk),
@@ -235,6 +244,8 @@ def _jit_front_twin_batch(imgs, cfg: SiftConfig, octaves: int):
             g, d, m, c = octave_front_xla(img, hks, thr, cfg.window_size)
             gt = twin_strided_xla(g, blk, st, g_l0, g_nl)
             gt = gt.reshape(b, gt.shape[1] // u, u * 2 * blk)
+            if isinstance(gbuf, jax.ShapeDtypeStruct):
+                gbuf = jnp.zeros(gbuf.shape, gbuf.dtype)
             gbuf = jax.lax.dynamic_update_slice(gbuf, gt, (0, gbase // u, 0))
             down = g[:, g.shape[1] - 3]
             pk = cube_pack_rows(d)

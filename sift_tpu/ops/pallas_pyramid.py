@@ -344,12 +344,20 @@ def fused_octave_front(
 
 
 def _octave_front_twin_kernel(
-    in_ref, gbuf_ref, gt_ref, pk_ref, mask_ref, counts_ref,
-    down_ref, *,
+    in_ref, *refs,
     taps_list, sum_ws, strip, halo, height, width, nbm, thr, blk, nbt,
     g_l0, g_nl, cstride, csw, cnbp, unit,
 ):
-    del gbuf_ref  # aliased into gt_ref
+    if len(refs) == 6:
+        # (gbuf_in, gt, pk, mask, counts, down): gbuf_in aliased into gt.
+        _, gt_ref, pk_ref, mask_ref, counts_ref, down_ref = refs
+    else:
+        # Create mode (first octave): the kernel's output IS the fresh
+        # buffer — no aliased input, and crucially no XLA zeros-fill of the
+        # ~800 MB batch-16 gather space (blocks outside this octave's
+        # region stay undefined; gathers never index them — later octaves
+        # alias-write their own regions).
+        gt_ref, pk_ref, mask_ref, counts_ref, down_ref = refs
     x = in_ref[:]  # (ext, w): strip rows + halo each side (edge-padded seed)
     base = pl.program_id(1) * strip - halo
     n = len(taps_list)
@@ -564,6 +572,21 @@ def fused_octave_front_twin(
         thr=float(threshold), blk=blk, nbt=nbt, g_l0=g_l0, g_nl=g_nl,
         cstride=cstride, csw=csw, cnbp=cnbp, unit=unit,
     )
+    # ``gbuf`` given as a ShapeDtypeStruct = CREATE mode: the kernel's
+    # output IS the fresh gather buffer (no aliased input, no XLA
+    # zeros-fill of the ~800 MB batch-16 space); an array = alias mode.
+    create = isinstance(gbuf, jax.ShapeDtypeStruct)
+    in_specs = [
+        pl.BlockSpec(
+            (pl.Squeezed(), pl.Element(ext, (0, 0)), pl.Element(w, (0, 0))),
+            lambda bi, s: (bi, s * strip, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    operands = [img_pad]
+    if not create:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        operands.append(gbuf)
     outs = pl.pallas_call(
         kernel,
         grid=(b, nstrips),
@@ -576,14 +599,7 @@ def fused_octave_front_twin(
             jax.ShapeDtypeStruct((b, n - 2, h, nbm), jnp.int32),
             jax.ShapeDtypeStruct((b, h, w), img.dtype),
         ],
-        in_specs=[
-            pl.BlockSpec(
-                (pl.Squeezed(), pl.Element(ext, (0, 0)), pl.Element(w, (0, 0))),
-                lambda bi, s: (bi, s * strip, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
                 (None, g_unit // unit, unit * 2 * blk),
@@ -599,13 +615,13 @@ def fused_octave_front_twin(
             pl.BlockSpec((None, strip, w), lambda bi, s: (bi, s, 0),
                          memory_space=pltpu.VMEM),
         ],
-        input_output_aliases={1: 0},
+        input_output_aliases={} if create else {1: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(img_pad, gbuf)
+    )(*operands)
     gbuf, pk, mask, counts, down = outs
     return gbuf, pk, mask, counts, down
 
