@@ -62,16 +62,9 @@ def main() -> None:
     # are asserted against the caps, so clipping would abort the bench, and
     # with no clipping the match sets are identical to default-cap runs.
     cfg = SiftConfig(extrema_cap=6144, kp_cap=1536, ori_cap=2048)
-    # Full-pipeline kernel A/B on the real chip: BENCH_PALLAS=1 swaps the
-    # descriptor/orientation histogram stages and the octave builder to the
-    # fused VMEM Pallas kernels (ulp-contract paths; see PERF.md).
-    if os.environ.get("BENCH_PALLAS"):
-        import dataclasses
-
-        cfg = dataclasses.replace(
-            cfg, use_pallas_desc=True, use_pallas_orient=True,
-            use_pallas_pyramid=True,
-        )
+    # (The BENCH_PALLAS opt-in histogram-kernel A/B was retired in round 5
+    # on PERF.md's sunset schedule — the band kernels were deleted after
+    # two measured generations lost to the XLA one-hot + MXU path.)
 
     # Batched mode: B frames per sweep (B/2 pairs), matcher vmapped over
     # pairs.  Every frame runs the full detect+describe+match pipeline.

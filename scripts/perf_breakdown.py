@@ -150,17 +150,8 @@ def main() -> None:
     )
     kp = dataclasses.replace(allkp, desc=desc_all)
 
-    # --- head-to-head: fused VMEM Pallas histogram kernels (ops/pallas_desc)
-    # vs the XLA one-hot paths timed above ("alt" rows are excluded from the
-    # stage total; whichever wins becomes the default). ---
-    if args.pallas_hist:
-        cfg_pl = dataclasses.replace(
-            cfg, use_pallas_desc=True, use_pallas_orient=True
-        )
-        add("alt orientation (Pallas hist)",
-            lambda: S._jit_orient_batch(mr, kp0, cfg_pl))
-        add("alt descriptors (Pallas hist)",
-            lambda: S._jit_desc_all_batch(mr, allkp, cfg_pl))
+    # (The Pallas histogram-kernel head-to-head was retired in round 5 —
+    # the band kernels were deleted on PERF.md's sunset schedule.)
     cfg_py = dataclasses.replace(cfg, use_pallas_pyramid=True)
     add("alt pyramids (fused octave kernel)",
         lambda: S._jit_pyramids_batch(imgs, cfg_py, octaves))

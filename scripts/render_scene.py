@@ -1,12 +1,16 @@
 """(Re)render panorama artifacts from the reference scene collections.
 
+THE scene entry point (round 5: render_own.py folded in here — per-scene
+default capacities killed the own-scene footgun that required it).
+
 Usage:
   python scripts/render_scene.py cave04_cyl [--out artifacts/...png]
-  python scripts/render_scene.py cave01 | cave04 | nis02 | nis06 | demo | own
+  python scripts/render_scene.py cave01 | cave04 | nis02 | nis06 | own
 
 Scenes stitch at full source resolution with the production pipeline
 (detection on the TPU when available); outputs are downscaled to <=1600 px
-per side for committing.
+per side for committing.  ``--cache`` makes runs resumable (per-image
+detections + per-edge homographies persist across timeout-bounded runs).
 """
 
 from __future__ import annotations
@@ -19,14 +23,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DATASET = "/root/reference/stitching/collection/Dataset"
+# (dir, mode, big_caps_by_default): scenes whose full-res frames measure
+# more detections than the default capacities hold get --big-caps behavior
+# automatically — silent capacity clipping on e.g. the 12-Mpx own-floor
+# frames (~288k extrema at full res) degrades the solve into a broken
+# composite (the round-4 footgun that forced a separate render_own.py).
 SCENES = {
-    "cave01": (f"{DATASET}/CAVE-01_atrium", "planar"),
-    "cave04": (f"{DATASET}/CAVE-04_times_square", "planar"),
-    "cave04_cyl": (f"{DATASET}/CAVE-04_times_square", "cylindrical"),
-    "nis02": (f"{DATASET}/NISwGSP-02_SantaMaria-all", "planar"),
-    "nis06": (f"{DATASET}/NISwGSP-06_PalazzoPubblico", "planar"),
+    "cave01": (f"{DATASET}/CAVE-01_atrium", "planar", False),
+    "cave04": (f"{DATASET}/CAVE-04_times_square", "planar", False),
+    "cave04_cyl": (f"{DATASET}/CAVE-04_times_square", "cylindrical", False),
+    "nis02": (f"{DATASET}/NISwGSP-02_SantaMaria-all", "planar", True),
+    "nis06": (f"{DATASET}/NISwGSP-06_PalazzoPubblico", "planar", True),
     # own-collection floor sweep: no STITCH-GRAPH file; chain graph.
-    "own": ("/root/reference/stitching/collection/own", "planar"),
+    "own": ("/root/reference/stitching/collection/own", "planar", True),
 }
 
 
@@ -66,7 +75,11 @@ def main() -> None:
     from sift_tpu.utils.io import load_image, save_image
     from sift_tpu.utils.stitch_graph import parse_stitch_graph
 
-    scene_dir, mode = SCENES[args.scene]
+    scene_dir, mode, auto_big = SCENES[args.scene]
+    if auto_big and args.downscale < 4 and not (args.big_caps or args.caps):
+        print("note: full-res scene defaults to --big-caps (measured "
+              "detection counts exceed the default capacities)")
+        args.big_caps = True
     graph_files = glob.glob(os.path.join(scene_dir, "*-STITCH-GRAPH.txt"))
     files = sorted(
         f for f in glob.glob(os.path.join(scene_dir, "*"))

@@ -71,16 +71,6 @@ class SiftConfig:
     # the image fits, XLA shifted-adds otherwise).  Both are bit-identical.
     use_pallas_blur: bool | None = None
 
-    # Descriptor histogram backend on the dispatch (f32 fast) path: None =
-    # auto (currently the XLA one-hot einsum; flips to the fused Pallas VMEM
-    # kernel once its on-chip win is recorded in PERF.md).  The kernel's
-    # atan2 is a ~2-ulp polynomial — ulp-level contract, never the f64
-    # parity profile (see models/descriptor.py docstring).
-    use_pallas_desc: bool | None = None
-
-    # Orientation histogram backend, same contract as use_pallas_desc.
-    use_pallas_orient: bool | None = None
-
     # Octave builder backend: None = auto (currently the XLA blur chain;
     # flips to the fused multi-sigma Pallas kernel — all 5 chained blurs +
     # DoGs in one VMEM pass, ops/pallas_pyramid.py — once its on-chip win

@@ -37,12 +37,10 @@ from sift_tpu.models.orient import max_size_octave
 from sift_tpu.ops.gather import (
     MultiRows,
     build_multi_rows,
-    gather_patch_band,
     gather_patches_multi,
     lut,
     with_row_units,
 )
-from sift_tpu.ops.pallas_desc import desc_hist_band_pallas
 from sift_tpu.utils.keypoints import Keypoints
 from sift_tpu.utils.numerics import round_half_away
 
@@ -64,7 +62,6 @@ def compute_descriptors_all(
     vol_sel: jnp.ndarray | None = None,
     n_octaves: int | None = None,
     dispatch_radius: bool = False,
-    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """Descriptors for a mixed-octave keypoint buffer: (N, 128) uint8.
 
@@ -91,15 +88,12 @@ def compute_descriptors_all(
     the reordering; keep it off there anyway).  Only enable where no vmap
     wraps this call: vmapped lax.switch executes every branch.
 
-    ``use_pallas``: run the post-gather histogram stage as the fused VMEM
-    Pallas kernel (ops/pallas_desc.py) instead of the XLA one-hot einsum
-    (same ulp-level contract as dispatch, and only active with it; the
-    kernel's atan2 is a ~2-ulp polynomial — Mosaic has no atan2).  On
-    non-TPU backends the kernel runs in interpreter mode (tests only).
-    None resolves to False until the on-chip win is recorded in PERF.md.
+    (The opt-in Pallas band-kernel variant of this stage was DELETED in
+    round 5 on the sunset schedule PERF.md set: two measured generations
+    lost to this XLA one-hot + MXU path — Mosaic has no batched
+    dot_general, so the in-kernel trilinear reduction degenerates to a
+    VPU plane loop.  See PERF.md "Pallas histogram kernels, settled".)
     """
-    use_pallas = bool(use_pallas) and dispatch_radius
-    interpret = jax.default_backend() != "tpu"
     dtype = kp.x.dtype
     mr = with_row_units(mr)  # loop-invariant unit-gather view
     octaves = n_octaves or len(mr.shapes)
@@ -155,27 +149,6 @@ def compute_descriptors_all(
         def desc_chunk(args):
             osel, lay, yy, xx, xo, yo, rad, hw, ca, sa, pori, wl, hl, vmask = args
             nc = lay.shape[0]
-            if use_pallas:
-                # Band path: raw gathered rows + in-kernel offsets — no
-                # extraction matmuls, no patch materialization.
-                band, oxb, oyb = gather_patch_band(
-                    mr, osel, lay, yy - r - 1, xx - r - 1, p
-                )
-                inv_hw = 1.0 / hw
-                coef = inv_hw * inv_hw / exp_denom
-                zf = jnp.zeros_like(ca)
-                flt = jnp.stack(
-                    [ca, sa, pori, inv_hw, coef, zf, zf, zf], axis=1
-                )
-                ints = jnp.stack(
-                    [xo, yo, rad, wl, hl, vmask.astype(jnp.int32),
-                     oxb + r + 1, oyb + r + 1],
-                    axis=1,
-                )
-                hist = desc_hist_band_pallas(
-                    band, flt, ints, bins_per_rad, interpret=interpret
-                )
-                return _hist_to_desc(hist)
             patches = gather_patches_multi(
                 mr, osel, lay, yy - r - 1, xx - r - 1, p
             )

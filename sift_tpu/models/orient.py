@@ -30,12 +30,10 @@ from sift_tpu.config import M_PI2, ORI_SMOOTH_ITERATIONS, SiftConfig
 from sift_tpu.ops.gather import (
     MultiRows,
     build_multi_rows,
-    gather_patch_band,
     gather_patches_multi,
     lut,
     with_row_units,
 )
-from sift_tpu.ops.pallas_desc import ori_hist_band_pallas
 from sift_tpu.utils.keypoints import Keypoints
 from sift_tpu.utils.numerics import round_half_away
 
@@ -64,7 +62,6 @@ def orient_all(
     vol_sel: jnp.ndarray | None = None,
     n_octaves: int | None = None,
     dispatch_radius: bool = False,
-    use_pallas: bool | None = None,
 ) -> Keypoints:
     """Assign orientations to a mixed-octave keypoint buffer (one program).
 
@@ -76,15 +73,11 @@ def orient_all(
     doubling, src/sift.cpp:522-526), one candidate per histogram bin with a
     validity mask (capacity N * num_bins); callers compact.
 
-    ``vol_sel``/``n_octaves``/``dispatch_radius``/``use_pallas``:
-    flattened-batch gather space, per-chunk window dispatch, and the fused
-    VMEM histogram kernel — same contracts as
-    ``descriptor.compute_descriptors_all`` (see its docstring; in particular
-    do NOT enable dispatch under vmap, and the Pallas kernel's atan2 is a
-    ~2-ulp polynomial).
+    ``vol_sel``/``n_octaves``/``dispatch_radius``: flattened-batch gather
+    space and per-chunk window dispatch — same contracts as
+    ``descriptor.compute_descriptors_all`` (see its docstring; in
+    particular do NOT enable dispatch under vmap).
     """
-    use_pallas = bool(use_pallas) and dispatch_radius
-    interpret = jax.default_backend() != "tpu"
     dtype = kp.x.dtype
     mr = with_row_units(mr)  # loop-invariant unit-gather view
     n = kp.capacity
@@ -119,21 +112,6 @@ def orient_all(
 
         def hist_chunk(args):
             osel, lay, yy, xx, xo, yo, rad, edenom, wl, hl, vmask = args
-            if use_pallas:
-                band, oxb, oyb = gather_patch_band(
-                    mr, osel, lay, yy - r - 1, xx - r - 1, p
-                )
-                inv_ed = 1.0 / edenom
-                zf = jnp.zeros_like(inv_ed)
-                flt = jnp.stack([inv_ed] + [zf] * 7, axis=1)
-                ints = jnp.stack(
-                    [xo, yo, rad, wl, hl, vmask.astype(jnp.int32),
-                     oxb + r + 1, oyb + r + 1],
-                    axis=1,
-                )
-                return ori_hist_band_pallas(
-                    band, flt, ints, nb, interpret=interpret
-                )
             patches = gather_patches_multi(
                 mr, osel, lay, yy - r - 1, xx - r - 1, p
             )

@@ -354,6 +354,161 @@ def _triangulate_new(
             points.append(xn[n])
 
 
+def _so3_log(r: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3, 3) rotation -> (..., 3) axis-angle (autodiff-stable).
+
+    theta = atan2(|vee(R - R^T)| / 2, (tr R - 1) / 2); the theta/sin(theta)
+    factor is series-expanded near 0 so Gauss-Newton jacobians stay finite.
+    """
+    v = 0.5 * jnp.stack(
+        [r[..., 2, 1] - r[..., 1, 2], r[..., 0, 2] - r[..., 2, 0],
+         r[..., 1, 0] - r[..., 0, 1]], axis=-1,
+    )
+    # Guard the norm BEFORE the sqrt: d(sqrt)/dx at 0 is inf, and a residual
+    # that is exactly identity at the linearization point (every sequential
+    # factor at init) would otherwise poison the whole Gauss-Newton jacobian
+    # with NaNs.
+    s2 = jnp.sum(v * v, axis=-1)
+    small = s2 < 1e-12
+    s = jnp.sqrt(jnp.where(small, 1.0, s2))
+    c = 0.5 * (r[..., 0, 0] + r[..., 1, 1] + r[..., 2, 2] - 1.0)
+    th = jnp.arctan2(jnp.where(small, 0.0, s), c)
+    scale = jnp.where(small, 1.0 + th * th / 6.0, th / s)
+    return v * scale[..., None]
+
+
+def _relative_rotation(q1: np.ndarray, q2: np.ndarray) -> np.ndarray:
+    """Relative rotation of a (near-)zero-baseline pair from NORMALIZED
+    matched coordinates: Kabsch on unit bearings (exact for pure rotation,
+    the revisit regime the pose gate admits), with one 3-sigma trim pass
+    against ratio-test outliers."""
+    b1 = np.concatenate([q1, np.ones((len(q1), 1))], axis=1)
+    b2 = np.concatenate([q2, np.ones((len(q2), 1))], axis=1)
+    b1 /= np.linalg.norm(b1, axis=1, keepdims=True)
+    b2 /= np.linalg.norm(b2, axis=1, keepdims=True)
+    r = np.eye(3)
+    for _ in range(2):
+        h = b2.T @ b1
+        u, _, vt = np.linalg.svd(h)
+        d = np.sign(np.linalg.det(u @ vt))
+        r = u @ np.diag([1.0, 1.0, d]) @ vt
+        ang = np.linalg.norm(b2 - (r @ b1.T).T, axis=1)
+        thr = max(3.0 * float(np.median(ang)), 1e-4)
+        keep = ang < thr
+        if keep.sum() < 8 or keep.all():
+            break
+        b1, b2 = b1[keep], b2[keep]
+    return r
+
+
+def pose_graph_relax(
+    poses: np.ndarray,
+    registered: list[int],
+    closures: list[tuple[int, int, np.ndarray]],
+    n_iters: int = 15,
+    w_closure: float = 1.0,
+) -> np.ndarray:
+    """Pose-graph optimization over sequential + loop-closure constraints.
+
+    Variables: (rvec, camera center) per registered frame.  Residuals:
+      - sequential between-factors from the base reconstruction (rotation
+        log-residual + local-frame center delta), which hold the locally
+        accurate shape;
+      - closure factors (i, j, R_meas): rotation to the Kabsch-measured
+        relative rotation, center coincidence (revisit pairs carry no
+        baseline — exactly why they constrain the GRAPH, not the BA
+        observations, see run_sfm).
+    The first node is pinned (gauge); scale is fixed by the sequential
+    center deltas.  Dense Gauss-Newton with LM damping — ~100 frames means
+    a few-hundred-variable solve, trivial on any backend.
+
+    Returns a copy of ``poses`` with registered frames replaced.
+    """
+    import jax
+
+    reg = sorted(registered)
+    n = len(reg)
+    if n < 3 or not closures:
+        return poses.copy()
+    idx = {f: k for k, f in enumerate(reg)}
+    rb = np.asarray(
+        rodrigues(jnp.asarray(poses[reg][:, :3], jnp.float32)), np.float64
+    )
+    cb = -np.einsum("nij,nj->ni", rb.transpose(0, 2, 1), poses[reg][:, 3:])
+    seq_a = np.arange(n - 1)
+    seq_b = seq_a + 1
+    r_rel_seq = np.stack([rb[b] @ rb[a].T for a, b in zip(seq_a, seq_b)])
+    d_seq = np.stack(
+        [rb[a] @ (cb[b] - cb[a]) for a, b in zip(seq_a, seq_b)]
+    )
+    clo = [
+        (idx[i], idx[j], rm) for (i, j, rm) in closures
+        if i in idx and j in idx
+    ]
+    if not clo:
+        return poses.copy()
+    clo_a = np.asarray([c[0] for c in clo])
+    clo_b = np.asarray([c[1] for c in clo])
+    r_clo = np.stack([c[2] for c in clo])
+
+    p0 = np.concatenate([poses[reg][:, :3], cb], axis=1).astype(np.float32)
+    sa = jnp.asarray(seq_a)
+    sb = jnp.asarray(seq_b)
+    ca = jnp.asarray(clo_a)
+    cb_i = jnp.asarray(clo_b)
+    rrs = jnp.asarray(r_rel_seq, jnp.float32)
+    dsq = jnp.asarray(d_seq, jnp.float32)
+    rcl = jnp.asarray(r_clo, jnp.float32)
+    p0j = jnp.asarray(p0)
+    wc = jnp.float32(w_closure)
+
+    def residuals(p):
+        p = p.reshape(n, 6)
+        rr = rodrigues(p[:, :3])
+        c = p[:, 3:]
+        # sequential between-factors
+        rel = jnp.einsum("nij,nkj->nik", rr[sb], rr[sa])  # R_b R_a^T
+        r_rot = _so3_log(jnp.einsum("nji,njk->nik", rrs, rel))
+        r_tr = jnp.einsum("nij,nj->ni", rr[sa], c[sb] - c[sa]) - dsq
+        # closure factors
+        relc = jnp.einsum("nij,nkj->nik", rr[cb_i], rr[ca])
+        c_rot = _so3_log(jnp.einsum("nji,njk->nik", rcl, relc))
+        c_tr = jnp.einsum("nij,nj->ni", rr[ca], c[cb_i] - c[ca])
+        # gauge pin: node 0 fully fixed
+        pin = (p[0] - p0j[0]) * 10.0
+        return jnp.concatenate([
+            r_rot.reshape(-1), r_tr.reshape(-1),
+            wc * c_rot.reshape(-1), wc * c_tr.reshape(-1), pin,
+        ])
+
+    jac = jax.jit(jax.jacrev(residuals))
+    res_f = jax.jit(residuals)
+    x = p0.reshape(-1).astype(np.float32)
+    lam = 1e-4
+    cost = float((np.asarray(res_f(jnp.asarray(x))) ** 2).sum())
+    for _ in range(n_iters):
+        j = np.asarray(jac(jnp.asarray(x)), np.float64)
+        r = np.asarray(res_f(jnp.asarray(x)), np.float64)
+        jtj = j.T @ j
+        g = j.T @ r
+        step = np.linalg.solve(jtj + lam * np.eye(len(x)), -g)
+        x_new = (x + step).astype(np.float32)
+        cost_new = float((np.asarray(res_f(jnp.asarray(x_new))) ** 2).sum())
+        if cost_new < cost:
+            x, cost = x_new, cost_new
+            lam = max(lam * 0.3, 1e-7)
+        else:
+            lam = min(lam * 10.0, 1e3)
+    p_opt = np.asarray(x, np.float64).reshape(n, 6)
+    out = poses.copy()
+    r_opt = np.asarray(rodrigues(jnp.asarray(p_opt[:, :3], jnp.float32)),
+                       np.float64)
+    for k, f in enumerate(reg):
+        out[f, :3] = p_opt[k, :3]
+        out[f, 3:] = -r_opt[k] @ p_opt[k, 3:]
+    return out
+
+
 def run_sfm_from_matches(
     keypoints_uv: list[np.ndarray],
     pair_matches: dict[tuple[int, int], np.ndarray],
@@ -364,12 +519,20 @@ def run_sfm_from_matches(
     prune_px: float = 3.0,
     verify_pairs: bool = True,
     windowed_ba_every: int | None = None,
+    poses_init: np.ndarray | None = None,
+    registered_init: list[int] | None = None,
 ) -> SfmResult:
     """Incremental SfM from per-frame keypoint pixels + pairwise matches.
 
     keypoints_uv[i]: (N_i, 2) pixel coordinates of frame i's features.
     pair_matches[(i, j)]: (M, 2) int array of (feature_i, feature_j) pairs.
     intrinsics: (3, 3) K matrix (shared).
+
+    ``poses_init``/``registered_init``: REFINE mode (the loop-closure flow):
+    skip two-view init + incremental registration, triangulate every track
+    from the given poses (re-using the incremental triangulator's partner
+    selection and cheirality tests frame by frame), and run the global
+    Huber BA + prune from that initialization.
     """
     n_frames = len(keypoints_uv)
     k = np.asarray(intrinsics, np.float64)
@@ -416,53 +579,76 @@ def run_sfm_from_matches(
         if score > best_score:
             best_score = score
             fa, fb = i, j
-    init_pairs = shared.get((fa, fb), [
-        (t, dict(g)) for t, g in enumerate(track_obs)
-        if fa in dict(g) and fb in dict(g)
-    ])
+    if poses_init is not None:
+        # REFINE mode: poses come from the pose-graph relaxation; rebuild
+        # the map by triangulating tracks frame by frame with the existing
+        # partner-selection + cheirality machinery, then FALL THROUGH to
+        # the incremental loop (frames the base run failed to register get
+        # another chance with the richer track graph — closure-merged
+        # tracks are what give their PnP its 2D-3D candidates) and the
+        # global BA.
+        poses = np.asarray(poses_init, np.float64).copy()
+        track_point = np.full(n_tracks, -1, np.int64)
+        points: list[np.ndarray] = []
+        registered = []
+        for f in sorted(registered_init or range(n_frames)):
+            registered.append(f)
+            if len(registered) >= 2:
+                _triangulate_new(
+                    f, track_obs, track_point, points, poses, registered,
+                    uv_of, k,
+                )
+    else:
+        registered = None
 
-    cap = max(64, 1 << int(np.ceil(np.log2(max(len(init_pairs), 2)))))
-    p1 = np.zeros((cap, 2))
-    p2 = np.zeros((cap, 2))
-    valid = np.zeros(cap, bool)
-    init_track_ids = np.full(cap, -1, np.int64)
-    for n, (t, g) in enumerate(init_pairs[:cap]):
-        p1[n] = _normalize(uv_of(fa, g[fa]), k)
-        p2[n] = _normalize(uv_of(fb, g[fb]), k)
-        valid[n] = True
-        init_track_ids[n] = t
+    if registered is None:
+        init_pairs = shared.get((fa, fb), [
+            (t, dict(g)) for t, g in enumerate(track_obs)
+            if fa in dict(g) and fb in dict(g)
+        ])
 
-    e, inl, _ = ransac_essential(
-        jnp.asarray(p1, jnp.float32), jnp.asarray(p2, jnp.float32),
-        jnp.asarray(valid), 1024, 2e-3, seed,
-    )
-    r2, t2, front = recover_pose(
-        jnp.asarray(e), jnp.asarray(p1, jnp.float32), jnp.asarray(p2, jnp.float32),
-        jnp.asarray(np.asarray(inl)),
-    )
-    x0 = triangulate(
-        jnp.asarray(p1, jnp.float32), jnp.asarray(p2, jnp.float32),
-        jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32), r2, t2,
-    )
-    front = np.asarray(front)
-    x0 = np.asarray(x0, np.float64)
+        cap = max(64, 1 << int(np.ceil(np.log2(max(len(init_pairs), 2)))))
+        p1 = np.zeros((cap, 2))
+        p2 = np.zeros((cap, 2))
+        valid = np.zeros(cap, bool)
+        init_track_ids = np.full(cap, -1, np.int64)
+        for n, (t, g) in enumerate(init_pairs[:cap]):
+            p1[n] = _normalize(uv_of(fa, g[fa]), k)
+            p2[n] = _normalize(uv_of(fb, g[fb]), k)
+            valid[n] = True
+            init_track_ids[n] = t
 
-    poses = np.zeros((n_frames, 6))
-    registered = [fa, fb]
-    r2n = np.asarray(r2, np.float64)
-    cos = np.clip((np.trace(r2n) - 1) / 2, -1, 1)
-    theta = np.arccos(cos)
-    axis = np.array([r2n[2, 1] - r2n[1, 2], r2n[0, 2] - r2n[2, 0], r2n[1, 0] - r2n[0, 1]])
-    axis = axis / max(np.linalg.norm(axis), 1e-12)
-    poses[fb, :3] = axis * theta
-    poses[fb, 3:] = np.asarray(t2, np.float64)
+        e, inl, _ = ransac_essential(
+            jnp.asarray(p1, jnp.float32), jnp.asarray(p2, jnp.float32),
+            jnp.asarray(valid), 1024, 2e-3, seed,
+        )
+        r2, t2, front = recover_pose(
+            jnp.asarray(e), jnp.asarray(p1, jnp.float32), jnp.asarray(p2, jnp.float32),
+            jnp.asarray(np.asarray(inl)),
+        )
+        x0 = triangulate(
+            jnp.asarray(p1, jnp.float32), jnp.asarray(p2, jnp.float32),
+            jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32), r2, t2,
+        )
+        front = np.asarray(front)
+        x0 = np.asarray(x0, np.float64)
 
-    track_point = np.full(n_tracks, -1, np.int64)
-    points: list[np.ndarray] = []
-    for n in range(cap):
-        if front[n] and init_track_ids[n] >= 0:
-            track_point[init_track_ids[n]] = len(points)
-            points.append(x0[n])
+        poses = np.zeros((n_frames, 6))
+        registered = [fa, fb]
+        r2n = np.asarray(r2, np.float64)
+        cos = np.clip((np.trace(r2n) - 1) / 2, -1, 1)
+        theta = np.arccos(cos)
+        axis = np.array([r2n[2, 1] - r2n[1, 2], r2n[0, 2] - r2n[2, 0], r2n[1, 0] - r2n[0, 1]])
+        axis = axis / max(np.linalg.norm(axis), 1e-12)
+        poses[fb, :3] = axis * theta
+        poses[fb, 3:] = np.asarray(t2, np.float64)
+
+        track_point = np.full(n_tracks, -1, np.int64)
+        points: list[np.ndarray] = []
+        for n in range(cap):
+            if front[n] and init_track_ids[n] >= 0:
+                track_point[init_track_ids[n]] = len(points)
+                points.append(x0[n])
 
     # ---- incremental registration ----
     # Register remaining frames most-constrained-first (greedy by current
@@ -509,7 +695,18 @@ def run_sfm_from_matches(
                 )
         remaining = deferred
 
-    # ---- global bundle adjustment ----
+    return _finish_global_ba(
+        n_frames, poses, points, track_obs, track_point, registered,
+        fa, fb, fxy, cxy, uv_of, ba_iters, prune_px, n_tracks,
+    )
+
+
+def _finish_global_ba(
+    n_frames, poses, points, track_obs, track_point, registered,
+    fa, fb, fxy, cxy, uv_of, ba_iters, prune_px, n_tracks,
+) -> SfmResult:
+    """Global Huber BA + reprojection-outlier prune + re-solve (the final
+    stage of run_sfm_from_matches, shared with the refine-mode flow)."""
     pts = np.asarray(points) if points else np.zeros((0, 3))
     obs_cam, obs_pt, obs_uv = [], [], []
     for t, g in enumerate(track_obs):
@@ -630,7 +827,7 @@ def loop_closure_candidates(
 
 
 def run_sfm(images, intrinsics, cfg=None, ba_iters: int = 25,
-            match_window: int = 2, loop_closure: bool = False) -> SfmResult:
+            match_window: int = 2, loop_closure: bool = True) -> SfmResult:
     """Full SfM on an image sequence: detection + matching + incremental SfM.
 
     Matching covers a temporal window (i, i+k) for k <= ``match_window``, not
@@ -641,19 +838,17 @@ def run_sfm(images, intrinsics, cfg=None, ba_iters: int = 25,
     ATE ~5x vs adjacent-only; very wide windows degrade again once distant
     repeated texture starts uniting tracks across scene planes.
 
-    ``loop_closure`` (opt-in): retrieval-proposed revisit pairs
-    (loop_closure_candidates), pose-prior-gated, are matched and added to
-    the pair graph — multi-pass trajectories revisiting a viewpoint
-    outside the temporal window are otherwise unconstrained and drift
-    apart (bigloop-97: 8.90% -> 4.27% of path ATE with the shipped pair
-    selection; every added pair still passes the GRIC geometric verifier
-    downstream).
-    Default OFF: on an already-tight there-and-back loop the added
-    near-duplicate zero-baseline observations measurably nudge the solve
-    (loop-49: 1.29% -> 3.67%), and a principled accept test needs an
-    odometry drift-covariance estimate this pipeline does not carry yet —
-    enable it for long multi-pass trajectories where inter-pass drift
-    dominates (SFM.md records both configurations).
+    ``loop_closure`` (default ON): retrieval-proposed revisit pairs
+    (loop_closure_candidates), pose-prior-gated, become POSE-GRAPH
+    constraints — Kabsch relative rotation + center coincidence — relaxed
+    by pose_graph_relax before a re-triangulated final BA; multi-pass
+    trajectories revisiting a viewpoint outside the temporal window are
+    otherwise unconstrained and drift apart.  Closure matches never enter
+    the BA observation set: as observations, zero-baseline revisit pairs
+    can only average the passes (measured round 4: 1.29% -> 3.67% ATE
+    nudge on an already-tight loop — the reason closure used to ship
+    opt-in), while as graph constraints they distribute the inter-pass
+    drift correction along the chain (SFM.md records the numbers).
     """
     from sift_tpu import SiftConfig, detect_and_describe, match_descriptors
 
@@ -709,29 +904,53 @@ def run_sfm(images, intrinsics, cfg=None, ba_iters: int = 25,
         return base
     descs = [np.asarray(kp.desc)[np.asarray(kp.valid)] for kp in kps]
     reg_set = set(reg)
-    added = 0
+    closures = []
     min_gap = max(8, 4 * match_window)
     for (i, j) in loop_closure_candidates(descs, min_gap, min_sim=0.95):
         if (i, j) in pair_matches or i not in reg_set or j not in reg_set:
             continue
-        # Closure = drift CORRECTION: accept only when appearance says
-        # "same place" but the estimate DISAGREES by more than the noise
-        # floor.  Upper bound 0.1 * path: the worst measured loop drifts
-        # ~0.09 * path before closure, while the closest legitimate-gap
-        # pairs of a non-revisiting sweep sit >= 0.16 * path apart.  Lower
-        # bound 0.02 * path: when the window-only solve already has the
-        # revisit consistent, closure pairs add only near-duplicate
-        # zero-baseline observations — no new constraints, measured to
-        # nudge an already-tight loop (1.29% -> 3.7% ATE) — so skip them.
+        # Upper bound 0.1 * path: the worst measured loop drifts ~0.09 *
+        # path before closure, while the closest legitimate-gap pairs of a
+        # non-revisiting sweep sit >= 0.16 * path apart (aliasing guard).
+        # No lower bound: consistent revisit pairs are harmless-to-useful
+        # as GRAPH constraints (they only confirm the solve) — the
+        # round-4 tight-loop harm came from closure OBSERVATIONS entering
+        # BA, which this flow no longer does.
         gap = float(np.linalg.norm(centers[i] - centers[j]))
-        if gap > 0.1 * path or gap < 0.02 * path:
+        if gap > 0.1 * path:
             continue
         m = match_pair(i, j)
-        if len(m) >= 24:  # enough support for a verifiable two-view model
-            pair_matches[(i, j)] = m
-            added += 1
-    if not added:
+        if len(m) < 24:  # enough support for a reliable rotation estimate
+            continue
+        q1 = _normalize(uvs[i][m[:, 0]], np.asarray(intrinsics, np.float64))
+        q2 = _normalize(uvs[j][m[:, 1]], np.asarray(intrinsics, np.float64))
+        closures.append((i, j, _relative_rotation(q1, q2)))
+        pair_matches[(i, j)] = m
+    if not closures:
         return base
-    out = run_sfm_from_matches(uvs, pair_matches, intrinsics, ba_iters)
-    out.info["loop_pairs_added"] = added
+
+    # Closure pairs serve two distinct roles:
+    #   1. POSE-GRAPH constraints (Kabsch relative rotation + center
+    #      coincidence), relaxed before the second pass so the re-run
+    #      starts from inter-pass-consistent poses;
+    #   2. TRACK merging: the measured bigloop failure mode is not drift
+    #      but REGISTRATION COVERAGE — 36/97 frames of the multi-pass loop
+    #      never register window-only, because mid-pass frames only share
+    #      tracks with their own pass and PnP starves.  Closure matches
+    #      merge cross-pass tracks, which is what hands those frames their
+    #      2D-3D candidates (and what made round 4's observation-level
+    #      closure help despite its tight-loop nudge).
+    # The second pass re-verifies every pair (GRIC), triangulates from the
+    # relaxed poses, registers the frames the base run missed, and runs
+    # the standard Huber BA + prune.
+    poses_pgo = pose_graph_relax(base.poses, reg, closures)
+    out = run_sfm_from_matches(
+        uvs, pair_matches, intrinsics, ba_iters,
+        poses_init=poses_pgo, registered_init=sorted(reg),
+    )
+    out.info["loop_pairs_added"] = len(closures)
+    # Safety net: if the closure-merged pass registered FEWER frames than
+    # the window-only base (a poisoned track graph), fall back.
+    if len(out.info.get("registered", [])) < len(reg):
+        return base
     return out

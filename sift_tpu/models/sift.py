@@ -439,7 +439,7 @@ def _jit_orient_batch(mr, kp, cfg: SiftConfig):
         flat_p = jax.tree.map(lambda a: a[perm], flat)
         cand = orient_all(
             merged, flat_p, cfg, vol_sel=vol_sel[perm], n_octaves=octaves,
-            dispatch_radius=True, use_pallas=cfg.use_pallas_orient,
+            dispatch_radius=True,
         )
         nbins = cfg.num_bins
         n_lanes = b * cap
@@ -503,7 +503,7 @@ def _jit_desc_all_batch(mr, allkp, cfg: SiftConfig):
         flat_p = jax.tree.map(lambda a: a[perm], flat)
         desc = compute_descriptors_all(
             merged, flat_p, cfg, vol_sel=vol_sel[perm], n_octaves=octaves,
-            dispatch_radius=True, use_pallas=cfg.use_pallas_desc,
+            dispatch_radius=True,
         )[inv]
     else:
         desc = compute_descriptors_all(

@@ -456,40 +456,6 @@ def extract_rows(g: jnp.ndarray, row_idx: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def gather_patch_band(
-    mr: MultiRows,
-    oct_id: jnp.ndarray,
-    layer: jnp.ndarray,
-    ys0: jnp.ndarray,
-    xs0: jnp.ndarray,
-    patch: int,
-):
-    """Raw row BAND covering each lane's patch window, for band consumers
-    (the Pallas rows kernels) that apply row/column offsets themselves.
-
-    Returns ``(g, ox, oy)``: window row j of lane n is band row ``oy[n]+j``
-    of ``g[n]`` (may fall outside the band at image edges — those samples
-    are out-of-image and consumers mask them by true image coordinates),
-    window column c is lane ``ox[n] + c``; lane l of a band row holds image
-    column ``xs0 - ox + l``.  Uses the u-row unit fast path when
-    ``mr.rows_u`` is attached (band height = u * (patch // u + 2)), else the
-    per-row gather (band height = patch, oy = 0).
-    """
-    if mr.rows_u is not None:
-        u = mr.unit
-        h = lut([s[1] for s in mr.shapes], oct_id, jnp.int32)
-        a0 = jnp.clip(ys0, 0, h - 1) // u
-        oy = ys0 - a0 * u
-        g, ox, _ = _gather_patch_units(
-            mr, oct_id, layer, ys0, xs0, patch, u
-        )
-        return g, ox, oy
-    g, ox = gather_patches_multi(
-        mr, oct_id, layer, ys0, xs0, patch, extract=False
-    )
-    return g, ox, jnp.zeros_like(ox)
-
-
 def gather_patches_multi(
     mr: MultiRows,
     oct_id: jnp.ndarray,
@@ -517,7 +483,7 @@ def gather_patches_multi(
     coordinates, which they already do).  Lane ``l`` of ``g[n, a]`` holds
     image column ``xs0 - ox + l``; consumers that reduce over the window can
     compute directly on the wide rows with lane masks and never pay the
-    extraction matmul (see ops/pallas_desc.py rows kernels).
+    extraction matmul.
 
     patch <= blk + 1 fetches one twin row per sample row; wider windows
     (patch <= 3 * blk + 1) fetch the twin rows of blocks b and b+2 —

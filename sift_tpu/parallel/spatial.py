@@ -91,7 +91,6 @@ def spatial_detect_and_describe(
     d = mesh.shape[axis]
     cfg = dataclasses.replace(
         cfg, use_pallas_blur=False, use_pallas_pyramid=False,
-        use_pallas_desc=False, use_pallas_orient=False,
     )
     img = jnp.asarray(img, cfg.dtype)
     h_in, w_in = img.shape[0], img.shape[1]
