@@ -509,6 +509,70 @@ def pose_graph_relax(
     return out
 
 
+def _fill_unregistered_by_interpolation(
+    poses: np.ndarray, registered: list[int], n_frames: int,
+    max_dist: int = 4,
+) -> tuple[np.ndarray, list[int]]:
+    """Motion-prior initialization for frames PnP could not register.
+
+    Dense sequences move a few pixels per frame, so a frame within
+    ``max_dist`` of registered neighbors is initialized by lerping the
+    neighbors' camera centers and rotation vectors (exact enough at these
+    inter-frame angles for the Huber BA to converge; BA then owns the
+    pose).  This is the standard odometry-prior fallback: the measured
+    failure mode is trajectory-END frames whose map points come from
+    adjacent tiny-baseline triangulations too ill-conditioned for PnP
+    consensus, not missing matches.  Returns (poses, newly_filled).
+    """
+    reg = sorted(registered)
+    if len(reg) < 2:
+        return poses, []
+    out = poses.copy()
+    rset = set(reg)
+    rmats = rodrigues(jnp.asarray(poses[reg][:, :3], jnp.float32))
+    cb = -np.einsum(
+        "nij,nj->ni", np.asarray(rmats, np.float64).transpose(0, 2, 1),
+        poses[reg][:, 3:],
+    )
+    c_of = {f: cb[i] for i, f in enumerate(reg)}
+    filled = []
+    for f in range(n_frames):
+        if f in rset:
+            continue
+        left = max((g for g in reg if g < f), default=None)
+        right = min((g for g in reg if g > f), default=None)
+        if left is not None and right is not None:
+            if right - left > 2 * max_dist:
+                continue
+            w = (f - left) / (right - left)
+            rv = (1 - w) * poses[left, :3] + w * poses[right, :3]
+            c = (1 - w) * c_of[left] + w * c_of[right]
+        elif left is not None:
+            # Extrapolate past the end using the last registered step.
+            prev = max((g for g in reg if g < left), default=None)
+            if prev is None or f - left > max_dist:
+                continue
+            step_c = (c_of[left] - c_of[prev]) / max(left - prev, 1)
+            step_r = (poses[left, :3] - poses[prev, :3]) / max(left - prev, 1)
+            rv = poses[left, :3] + step_r * (f - left)
+            c = c_of[left] + step_c * (f - left)
+        elif right is not None:
+            nxt = min((g for g in reg if g > right), default=None)
+            if nxt is None or right - f > max_dist:
+                continue
+            step_c = (c_of[nxt] - c_of[right]) / max(nxt - right, 1)
+            step_r = (poses[nxt, :3] - poses[right, :3]) / max(nxt - right, 1)
+            rv = poses[right, :3] - step_r * (right - f)
+            c = c_of[right] - step_c * (right - f)
+        else:
+            continue
+        rm = np.asarray(rodrigues(jnp.asarray(rv, jnp.float32)), np.float64)
+        out[f, :3] = rv
+        out[f, 3:] = -rm @ c
+        filled.append(f)
+    return out, filled
+
+
 def run_sfm_from_matches(
     keypoints_uv: list[np.ndarray],
     pair_matches: dict[tuple[int, int], np.ndarray],
@@ -905,9 +969,20 @@ def run_sfm(images, intrinsics, cfg=None, ba_iters: int = 25,
     descs = [np.asarray(kp.desc)[np.asarray(kp.valid)] for kp in kps]
     reg_set = set(reg)
     closures = []
+    deferred = []
+    accepted = []
+    gaps = []
     min_gap = max(8, 4 * match_window)
     for (i, j) in loop_closure_candidates(descs, min_gap, min_sim=0.95):
-        if (i, j) in pair_matches or i not in reg_set or j not in reg_set:
+        if (i, j) in pair_matches:
+            continue
+        if i not in reg_set or j not in reg_set:
+            # Frames the base run failed to register have no pose prior to
+            # gate on — exactly the frames that most need the track merge.
+            # Defer them: accepted below only by temporal coherence with a
+            # pose-gated neighbor pair (revisits are temporally smooth;
+            # an isolated aliasing pair has no gated neighbor).
+            deferred.append((i, j))
             continue
         # Upper bound 0.1 * path: the worst measured loop drifts ~0.09 *
         # path before closure, while the closest legitimate-gap pairs of a
@@ -926,7 +1001,33 @@ def run_sfm(images, intrinsics, cfg=None, ba_iters: int = 25,
         q2 = _normalize(uvs[j][m[:, 1]], np.asarray(intrinsics, np.float64))
         closures.append((i, j, _relative_rotation(q1, q2)))
         pair_matches[(i, j)] = m
+        accepted.append((i, j))
+        gaps.append(gap)
+    for (i, j) in deferred:
+        if any(abs(i - a) <= 3 and abs(j - b) <= 3 for a, b in accepted):
+            m = match_pair(i, j)
+            if len(m) >= 24:
+                pair_matches[(i, j)] = m
     if not closures:
+        return base
+
+    # DRIFT GATE: the closure refine is a REPAIR pass, triggered only by
+    # observable distress in the window-only solve — coverage holes
+    # (unregistered frames), heavy outlier pruning, or closure-pair center
+    # gaps materially above the noise floor.  A healthy, already-consistent
+    # reconstruction (the there-and-back loop: every frame registered,
+    # ~0.2% pruned, median closure gap ~0.007 of path) is left alone:
+    # merging its exact-revisit zero-baseline observations can only
+    # re-average the passes (measured 1.29% -> 1.80% ATE), which is the
+    # round-4 nudge this gate retires.
+    distressed = (
+        len(reg) < len(images)
+        or base.info.get("pruned_obs", 0)
+        > 0.02 * max(base.info.get("n_obs", 1), 1)
+        or float(np.median(gaps)) > 0.02 * path
+    )
+    if not distressed:
+        base.info["loop_closure_skipped"] = "base solve healthy"
         return base
 
     # Closure pairs serve two distinct roles:
@@ -944,9 +1045,16 @@ def run_sfm(images, intrinsics, cfg=None, ba_iters: int = 25,
     # relaxed poses, registers the frames the base run missed, and runs
     # the standard Huber BA + prune.
     poses_pgo = pose_graph_relax(base.poses, reg, closures)
+    # Frames PnP never registered (measured failure: trajectory-end frames
+    # whose tiny-baseline map points are too ill-conditioned for consensus)
+    # get motion-prior initial poses from their relaxed neighbors; the
+    # refine pass's Huber BA owns them from there.
+    poses_pgo, filled = _fill_unregistered_by_interpolation(
+        poses_pgo, sorted(reg), len(images), max_dist=8
+    )
     out = run_sfm_from_matches(
         uvs, pair_matches, intrinsics, ba_iters,
-        poses_init=poses_pgo, registered_init=sorted(reg),
+        poses_init=poses_pgo, registered_init=sorted(set(reg) | set(filled)),
     )
     out.info["loop_pairs_added"] = len(closures)
     # Safety net: if the closure-merged pass registered FEWER frames than
