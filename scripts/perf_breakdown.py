@@ -60,11 +60,6 @@ def main() -> None:
         help="use bench.py's workload-tuned capacities (6144/1536/2048) "
         "instead of the SiftConfig defaults, to profile the headline path",
     )
-    ap.add_argument(
-        "--pallas-hist", action="store_true",
-        help="time the Pallas desc/orient histogram kernels (crashes the "
-        "Mosaic compiler on real TPU as of libtpu 0.0.34 — see PERF.md)",
-    )
     args = ap.parse_args()
 
     import jax
