@@ -144,16 +144,16 @@ def main() -> None:
     rows.append(m)
     print(json.dumps(m), flush=True)
 
-    # Same multi-pass loop with retrieval loop closure ON (opt-in feature;
-    # inter-pass drift is exactly what it corrects — see models/sfm.run_sfm).
+    # Ablation: the same multi-pass loop WITHOUT the closure repair pass
+    # (closure is on by default since round 5; this records the window-only
+    # baseline the repair is measured against).
     t0 = time.time()
-    res = run_sfm(frames, k, cfg, ba_iters=20, loop_closure=True)
+    res = run_sfm(frames, k, cfg, ba_iters=20, loop_closure=False)
     el = time.time() - t0
     m = _metrics(_recover_centers(res, len(frames)), gt)
-    m.update(seq=f"bigloop-{len(ts)}+closure", frames=len(ts),
+    m.update(seq=f"bigloop-{len(ts)}-noclosure", frames=len(ts),
              seconds=round(el, 1), points=res.info["n_points"],
-             obs=res.info["n_obs"], pruned=res.info.get("pruned_obs", 0),
-             loop_pairs=res.info.get("loop_pairs_added", 0))
+             obs=res.info["n_obs"], pruned=res.info.get("pruned_obs", 0))
     rows.append(m)
     print(json.dumps(m), flush=True)
 
