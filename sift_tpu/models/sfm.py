@@ -481,24 +481,41 @@ def pose_graph_relax(
             wc * c_rot.reshape(-1), wc * c_tr.reshape(-1), pin,
         ])
 
-    jac = jax.jit(jax.jacrev(residuals))
-    res_f = jax.jit(residuals)
-    x = p0.reshape(-1).astype(np.float32)
-    lam = 1e-4
-    cost = float((np.asarray(res_f(jnp.asarray(x))) ** 2).sum())
-    for _ in range(n_iters):
-        j = np.asarray(jac(jnp.asarray(x)), np.float64)
-        r = np.asarray(res_f(jnp.asarray(x)), np.float64)
-        jtj = j.T @ j
-        g = j.T @ r
-        step = np.linalg.solve(jtj + lam * np.eye(len(x)), -g)
-        x_new = (x + step).astype(np.float32)
-        cost_new = float((np.asarray(res_f(jnp.asarray(x_new))) ** 2).sum())
-        if cost_new < cost:
-            x, cost = x_new, cost_new
-            lam = max(lam * 0.3, 1e-7)
-        else:
-            lam = min(lam * 10.0, 1e3)
+    # Pin the solver to the CPU backend: this is a few-hundred-variable
+    # host-side graph solve, and tracing its jacobian through a remote TPU
+    # tunnel would cost minutes of pointless compile when detection runs
+    # on-chip.
+    try:
+        cpu0 = jax.devices("cpu")[0]
+    except RuntimeError:  # pragma: no cover - cpu backend always exists
+        cpu0 = None
+    import contextlib
+
+    dev_ctx = (
+        jax.default_device(cpu0) if cpu0 is not None
+        else contextlib.nullcontext()
+    )
+    with dev_ctx:
+        jac = jax.jit(jax.jacrev(residuals))
+        res_f = jax.jit(residuals)
+        x = p0.reshape(-1).astype(np.float32)
+        lam = 1e-4
+        cost = float((np.asarray(res_f(jnp.asarray(x))) ** 2).sum())
+        for _ in range(n_iters):
+            j = np.asarray(jac(jnp.asarray(x)), np.float64)
+            r = np.asarray(res_f(jnp.asarray(x)), np.float64)
+            jtj = j.T @ j
+            g = j.T @ r
+            step = np.linalg.solve(jtj + lam * np.eye(len(x)), -g)
+            x_new = (x + step).astype(np.float32)
+            cost_new = float(
+                (np.asarray(res_f(jnp.asarray(x_new))) ** 2).sum()
+            )
+            if cost_new < cost:
+                x, cost = x_new, cost_new
+                lam = max(lam * 0.3, 1e-7)
+            else:
+                lam = min(lam * 10.0, 1e3)
     p_opt = np.asarray(x, np.float64).reshape(n, 6)
     out = poses.copy()
     r_opt = np.asarray(rodrigues(jnp.asarray(p_opt[:, :3], jnp.float32)),
