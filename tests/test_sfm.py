@@ -208,3 +208,62 @@ def test_incremental_sfm_ate():
     ate = np.sqrt(((aligned - centers_gt) ** 2).sum(1).mean())
     span = np.linalg.norm(centers_gt.max(0) - centers_gt.min(0))
     assert ate < 0.05 * span, f"ATE {ate} vs span {span}"
+
+
+def test_pose_graph_relax_closes_drifted_chain():
+    """A chain whose second half drifts in scale is pulled back by dense
+    center-coincidence closures (pass-1/pass-2 revisit structure), while
+    sequential between-factors keep the local steps: closure gaps shrink
+    by >5x without distorting the first (trusted) half's step lengths."""
+    from sift_tpu.models.sfm import pose_graph_relax
+
+    n = 20
+    poses = np.zeros((n, 6))
+    # Pass 1: frames 0..9 at x = 0.1 * i.  Pass 2: frames 10..19 REVISIT
+    # x = 0.9 - 0.1 * (i - 10) but with 30% scale drift.
+    for i in range(10):
+        poses[i, 3:] = -np.array([0.1 * i, 0.0, 0.0])
+    for i in range(10, 20):
+        poses[i, 3:] = -np.array([0.9 - 0.13 * (i - 10), 0.0, 0.0])
+    closures = [(i, 19 - i + 0, np.eye(3)) for i in range(4, 9)]
+    out = pose_graph_relax(poses, list(range(n)), closures, n_iters=25)
+
+    from sift_tpu.models.geometry import rodrigues
+
+    def centers(p):
+        r = np.asarray(rodrigues(jnp.asarray(p[:, :3], jnp.float32)))
+        return -np.einsum("nij,nj->ni", r.transpose(0, 2, 1), p[:, 3:])
+
+    c0, c1 = centers(poses), centers(out)
+    gap0 = np.mean([np.linalg.norm(c0[i] - c0[19 - i]) for i in range(4, 9)])
+    gap1 = np.mean([np.linalg.norm(c1[i] - c1[19 - i]) for i in range(4, 9)])
+    assert gap1 < gap0 / 5.0, (gap0, gap1)
+    # trusted half's steps survive (within 20%)
+    steps = np.linalg.norm(np.diff(c1[:9], axis=0), axis=1)
+    assert np.all(np.abs(steps - 0.1) < 0.02), steps
+
+
+def test_fill_unregistered_by_interpolation():
+    """Interior gaps lerp between neighbors; trailing frames extrapolate
+    the last registered step; far-from-registered frames stay untouched."""
+    from sift_tpu.models.sfm import _fill_unregistered_by_interpolation
+    from sift_tpu.models.geometry import rodrigues
+
+    n = 12
+    poses = np.zeros((n, 6))
+    for i in range(n):
+        poses[i, 3:] = -np.array([0.5 * i, 0.0, 0.0])
+    reg = [0, 1, 2, 5, 6, 7]  # gap 3-4 interior, 8..11 trailing
+    out, filled = _fill_unregistered_by_interpolation(poses, reg, n,
+                                                      max_dist=3)
+    assert set(filled) == {3, 4, 8, 9, 10}, filled  # 11 is 4 > max_dist away
+
+    def center(p):
+        r = np.asarray(rodrigues(jnp.asarray(p[:3], jnp.float32)))
+        return -(r.T @ p[3:])
+
+    np.testing.assert_allclose(center(out[3])[0], 1.5, atol=1e-5)
+    np.testing.assert_allclose(center(out[4])[0], 2.0, atol=1e-5)
+    np.testing.assert_allclose(center(out[9])[0], 4.5, atol=1e-5)
+    # untouched: frame 11 still at the origin-pose default
+    np.testing.assert_array_equal(out[11], poses[11])
