@@ -137,16 +137,95 @@ def _tpu_f32_sweep(args, cfg) -> None:
                     used[cand[0]] = True
                     overlap += 1
         edges_ok += ok
-        print(_json.dumps(dict(
+        rec = dict(
             edge=[i, j], matches=int(len(mine)),
             ref_matches=int(len(ref_pairs)), set_exact=ok,
             overlap=overlap,
-        )), flush=True)
+        )
+        if not ok and args.provenance:
+            rec["provenance"] = _edge_provenance(
+                kps[i], kps[j], oracle[i], oracle[j], mine, ref_pairs
+            )
+        print(_json.dumps(rec), flush=True)
 
     print(_json.dumps(dict(
         summary=True, profile="f32-tpu-production", frames=len(dumps),
         frames_ok=frames_ok, edges=edges_total, edges_ok=edges_ok,
     )))
+
+
+def _edge_provenance(kpa, kpb, ora, orb, mine, ref_pairs):
+    """Classify every differing match of a non-exact edge.
+
+    For each oracle match with no 5e-2 coordinate twin on our side (and
+    vice versa), report WHY it flipped:
+      - ``kp-miss``: one endpoint keypoint exists in only one set — a
+        detection-level flip (threshold-marginal extremum or Newton
+        convergence at the f32/f64 boundary);
+      - ``ratio-flip``: both endpoints exist in both sets — the Lowe
+        accept decision differed; the reported ``margin`` is the exact
+        integer predicate slack 9*second^2 - 16*best^2 on the ORACLE
+        descriptors (tiny |margin| = a genuinely marginal match whose
+        +-1-byte f32 descriptor rounding can flip it).
+    """
+    import numpy as _np
+
+    va = _np.asarray(kpa.valid)
+    vb = _np.asarray(kpb.valid)
+    my_a = _np.stack([_np.asarray(kpa.x)[va], _np.asarray(kpa.y)[va]], 1)
+    my_b = _np.stack([_np.asarray(kpb.x)[vb], _np.asarray(kpb.y)[vb]], 1)
+    ref_a = _np.stack([ora["final.x"], ora["final.y"]], 1)
+    ref_b = _np.stack([orb["final.x"], orb["final.y"]], 1)
+    da = ora["final.desc"].astype(_np.int64)
+    db = orb["final.desc"].astype(_np.int64)
+    d2 = ((da * da).sum(1)[:, None] + (db * db).sum(1)[None, :]
+          - 2 * (da @ db.T))
+
+    def has_near(pt, pts):
+        if not len(pts):
+            return False
+        return bool((_np.abs(pts - pt[None]).max(1) <= 5e-2).any())
+
+    def unmatched(src, dst):
+        if not len(src):
+            return []
+        if not len(dst):
+            return list(range(len(src)))
+        d = _np.abs(src[:, None, :] - dst[None, :, :]).max(-1)
+        used = _np.zeros(len(dst), bool)
+        out = []
+        for s in range(len(src)):
+            cand = _np.nonzero((d[s] <= 5e-2) & ~used)[0]
+            if len(cand):
+                used[cand[0]] = True
+            else:
+                out.append(s)
+        return out
+
+    diffs = []
+    for side, src, dst in (("ref-only", ref_pairs, mine),
+                           ("mine-only", mine, ref_pairs)):
+        for s in unmatched(src, dst):
+            qa, qb = src[s, :2], src[s, 2:]
+            have_a = has_near(qa, my_a) and has_near(qa, ref_a)
+            have_b = has_near(qb, my_b) and has_near(qb, ref_b)
+            kind = "ratio-flip" if (have_a and have_b) else "kp-miss"
+            entry = dict(side=side, kind=kind,
+                         a=[round(float(qa[0]), 2), round(float(qa[1]), 2)],
+                         b=[round(float(qb[0]), 2), round(float(qb[1]), 2)])
+            if kind == "ratio-flip":
+                # Exact-int Lowe margin on the oracle descriptors for the
+                # a-endpoint's row: slack of 16*best^2 < 9*second^2.
+                ia = int(_np.abs(ref_a - qa[None]).max(1).argmin())
+                row = d2[ia].copy()
+                bi = int(row.argmin())
+                best = int(row[bi])
+                row[bi] = 1 << 60
+                second = int(row.min())
+                entry["margin"] = int(9 * second - 16 * best)
+                entry["best2"] = best
+            diffs.append(entry)
+    return diffs
 
 
 def _tpu_pair_anchor(cfg) -> None:
@@ -191,6 +270,12 @@ def _tpu_pair_anchor(cfg) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--limit", type=int, default=0, help="first N frames only")
+    ap.add_argument(
+        "--provenance", action="store_true",
+        help="with --tpu-f32: classify every differing match of each "
+        "non-exact edge (kp-miss vs ratio-flip with the exact-int Lowe "
+        "margin)",
+    )
     ap.add_argument(
         "--tpu-f32", action="store_true",
         help="run the f32 TPU PRODUCTION path (fused twin front, window "
