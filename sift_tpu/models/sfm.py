@@ -919,17 +919,18 @@ def run_sfm(images, intrinsics, cfg=None, ba_iters: int = 25,
     ATE ~5x vs adjacent-only; very wide windows degrade again once distant
     repeated texture starts uniting tracks across scene planes.
 
-    ``loop_closure`` (default ON): retrieval-proposed revisit pairs
-    (loop_closure_candidates), pose-prior-gated, become POSE-GRAPH
-    constraints — Kabsch relative rotation + center coincidence — relaxed
-    by pose_graph_relax before a re-triangulated final BA; multi-pass
-    trajectories revisiting a viewpoint outside the temporal window are
-    otherwise unconstrained and drift apart.  Closure matches never enter
-    the BA observation set: as observations, zero-baseline revisit pairs
-    can only average the passes (measured round 4: 1.29% -> 3.67% ATE
-    nudge on an already-tight loop — the reason closure used to ship
-    opt-in), while as graph constraints they distribute the inter-pass
-    drift correction along the chain (SFM.md records the numbers).
+    ``loop_closure`` (default ON): a GATED REPAIR pass.  Retrieval-proposed
+    revisit pairs (loop_closure_candidates), pose-prior-gated, become (1)
+    pose-graph constraints — Kabsch relative rotation + center coincidence,
+    relaxed by pose_graph_relax — and (2) cross-pass track merges in a
+    re-triangulated second solve that also registers the frames the base
+    run missed (with motion-prior pose fill where PnP is ill-conditioned).
+    The repair runs only on observable base-solve distress (coverage
+    holes, heavy pruning, closure gaps above the noise floor); a healthy
+    already-consistent loop is returned untouched, which retires round 4's
+    measured tight-loop nudge (1.29% -> 3.67% then, 1.29% kept now).
+    SFM.md records the numbers: the 97-frame multi-pass loop goes
+    8.90% -> 1.05% of path ATE.
     """
     from sift_tpu import SiftConfig, detect_and_describe, match_descriptors
 
