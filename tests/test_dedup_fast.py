@@ -3,6 +3,7 @@
 import dataclasses
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from sift_tpu.utils import keypoints as kputil
@@ -64,3 +65,48 @@ def test_dedup_compact_f64():
         np.testing.assert_array_equal(
             np.asarray(getattr(want, f))[wv], np.asarray(getattr(got, f))[gv]
         )
+
+
+def test_compact_sort_based_equals_naive():
+    """The payload-carrying sort compact returns bit-identical valid lanes
+    (and extras) to the compact_mask + per-field take formulation."""
+    import dataclasses
+
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from sift_tpu.utils.keypoints import Keypoints, compact, compact_indices
+
+    rng = np.random.default_rng(7)
+    for n, cap in ((64, 32), (128, 128), (96, 160)):
+        valid = rng.random(n) < 0.6
+        kp = Keypoints(
+            x=jnp.asarray(rng.normal(size=n).astype(np.float32)),
+            y=jnp.asarray(rng.normal(size=n).astype(np.float32)),
+            octave=jnp.asarray(rng.integers(0, 8, n).astype(np.int32)),
+            layer=jnp.asarray(rng.integers(0, 5, n).astype(np.int32)),
+            size=jnp.asarray(rng.normal(size=n).astype(np.float32)),
+            pori=jnp.asarray(rng.normal(size=n).astype(np.float32)),
+            desc=jnp.asarray(rng.integers(0, 255, (n, 128)).astype(np.uint8)),
+            valid=jnp.asarray(valid),
+        )
+        extra = jnp.asarray(rng.normal(size=n).astype(np.float32))
+        out, ex = compact(kp, cap, extra=extra)
+
+        idx, in_range = compact_indices(kp.valid, cap)
+        ref = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), kp)
+        ref = dataclasses.replace(ref, valid=ref.valid & in_range)
+        ref_ex = jnp.take(extra, idx, axis=0)
+
+        v = np.asarray(out.valid)
+        np.testing.assert_array_equal(v, np.asarray(ref.valid))
+        for fld in ("x", "y", "octave", "layer", "size", "pori"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(out, fld))[v],
+                np.asarray(getattr(ref, fld))[v], err_msg=fld,
+            )
+        np.testing.assert_array_equal(
+            np.asarray(out.desc)[v], np.asarray(ref.desc)[v]
+        )
+        np.testing.assert_array_equal(np.asarray(ex)[v], np.asarray(ref_ex)[v])
