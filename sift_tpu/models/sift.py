@@ -201,6 +201,11 @@ def _jit_front_twin_batch(imgs, cfg: SiftConfig, octaves: int):
     # pass-through copies of the 2x-inflated rows it implied — never
     # happen; consumers run the unit gather fast path directly.
     u = min(8, *(p[2] for p in plan))
+    # Sublane-align the unit-view row count: with g_total // u % 8 != 0 the
+    # flat ``rows_u`` reshape below is a real 675 MB relayout copy (tiled
+    # T(8,128) rows pad per batch element); padded to a whole sublane tile
+    # it compiles to a bitcast.  The pad rows are never written or read.
+    g_total = -(-g_total // (8 * u)) * (8 * u)
     # The first fitting octave's kernel CREATES the buffer (ShapeDtypeStruct
     # sentinel -> no aliased input): skips the XLA zeros-fill of the ~800 MB
     # batch-16 gather space.  Blocks outside written octave regions stay
