@@ -212,15 +212,31 @@ def _jit_front_twin_batch(imgs, cfg: SiftConfig, octaves: int):
     # undefined — gathers never index them (bases skip alignment gaps; rows
     # past H within a region are kernel-written padding).
     gbuf = jax.ShapeDtypeStruct((b, g_total // u, u * 2 * blk), cfg.dtype)
-    masks, counts, pk_all = [], [], []
+    # Shared cube-packed DoG buffer (gather.CubeRows strip-block-major
+    # order, ls = log2(st) per octave): each octave's kernel writes its
+    # region in place (create/alias mode, same pattern as gbuf), so the
+    # per-octave pk buffers — and the ~5 ms XLA concatenation chain
+    # (8 x 165 MB copy+update-slice fusions + a 165 MB layout copy) that
+    # assembled them in round 4 — never exist.
+    cstride, csw, _ = cube_rows_params(n, plan[0][1])
+    pk_bases, pk_nbps = [], []
+    pkacc = 0
     for h, w, st, fits, nbt, gbase in plan:
+        _, _, nbp = cube_rows_params(n, w)
+        pk_unit = nbp * st
+        pkacc = -(-pkacc // pk_unit) * pk_unit
+        pk_bases.append(pkacc)
+        pk_nbps.append(nbp)
+        pkacc += (-(-h // st)) * pk_unit
+    pkbuf = jax.ShapeDtypeStruct((b, pkacc, 128), cfg.dtype)
+    masks, counts = [], []
+    for (h, w, st, fits, nbt, gbase), pkbase in zip(plan, pk_bases):
         if fits:
             g_unit = g_nl * nbt * st
             if g_unit % (8 * u) == 0:
-                # pk: cube-packed DoG rows straight from the kernel (the
-                # plain DoG stacks never exist on this path).
-                gbuf, pk, m, c, down = fused_octave_front_twin(
-                    img, hks, thr, gbuf, gbase, st, blk, g_l0, g_nl, unit=u
+                gbuf, pkbuf, m, c, down = fused_octave_front_twin(
+                    img, hks, thr, gbuf, gbase, st, blk, g_l0, g_nl, unit=u,
+                    pkbuf=pkbuf, pkbase=pkbase,
                 )
             else:
                 # Small octave whose unit-view block is not sublane-aligned
@@ -231,8 +247,9 @@ def _jit_front_twin_batch(imgs, cfg: SiftConfig, octaves: int):
                 tmp = jax.ShapeDtypeStruct(
                     (b, nstr * g_unit, 2 * blk), cfg.dtype
                 )
-                tmp, pk, m, c, down = fused_octave_front_twin(
-                    img, hks, thr, tmp, 0, st, blk, g_l0, g_nl
+                tmp, pkbuf, m, c, down = fused_octave_front_twin(
+                    img, hks, thr, tmp, 0, st, blk, g_l0, g_nl,
+                    pkbuf=pkbuf, pkbase=pkbase,
                 )
                 if isinstance(gbuf, jax.ShapeDtypeStruct):
                     gbuf = jnp.zeros(gbuf.shape, gbuf.dtype)
@@ -241,7 +258,6 @@ def _jit_front_twin_batch(imgs, cfg: SiftConfig, octaves: int):
                     tmp.reshape(b, nstr * g_unit // u, u * 2 * blk),
                     (0, gbase // u, 0),
                 )
-            pk = pk.reshape(b, -1, 128)
             wpm = -(-w // 128) * 128
             if wpm > w:  # lane-pad to whole 128-blocks (small octaves only)
                 m = jnp.pad(m, ((0, 0), (0, 0), (0, 0), (0, wpm - w)))
@@ -253,10 +269,13 @@ def _jit_front_twin_batch(imgs, cfg: SiftConfig, octaves: int):
                 gbuf = jnp.zeros(gbuf.shape, gbuf.dtype)
             gbuf = jax.lax.dynamic_update_slice(gbuf, gt, (0, gbase // u, 0))
             down = g[:, g.shape[1] - 3]
-            pk = cube_pack_rows(d)
+            if isinstance(pkbuf, jax.ShapeDtypeStruct):
+                pkbuf = jnp.zeros(pkbuf.shape, pkbuf.dtype)
+            pkbuf = jax.lax.dynamic_update_slice(
+                pkbuf, cube_pack_rows(d, st), (0, pkbase, 0)
+            )
         masks.append(m)
         counts.append(c)
-        pk_all.append(pk)
         img = downsample_nearest_x2(down)
     shp = tuple(p[2].bit_length() - 1 for p in plan)
     gmr = MultiRows(
@@ -277,20 +296,14 @@ def _jit_front_twin_batch(imgs, cfg: SiftConfig, octaves: int):
     )
     # Cube-packed DoG rows: 3 row gathers per Newton cube instead of 9
     # (gather.CubeRows) — and ~45% smaller than the old DoG twin rows.
-    cbases, cnbps = [], []
-    acc = 0
-    for pk, p in zip(pk_all, plan):
-        stride, sw, nbp = cube_rows_params(n, p[1])
-        cbases.append(acc)
-        cnbps.append(nbp)
-        acc += pk.shape[1]
     dmr = CubeRows(
-        rows=jnp.concatenate(pk_all, axis=1),
+        rows=pkbuf,
         shapes=tuple((n, p[0], p[1]) for p in plan),
-        nbps=tuple(cnbps),
-        bases=tuple(cbases),
-        stride=stride,
-        sw=sw,
+        nbps=tuple(pk_nbps),
+        bases=tuple(pk_bases),
+        stride=cstride,
+        sw=csw,
+        lss=shp,
     )
     return gmr, dmr, masks, counts
 

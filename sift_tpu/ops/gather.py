@@ -605,16 +605,26 @@ class CubeRows:
     columns per block, any interior x lands in block cb = (x-1) // stride
     with its +-1 column neighborhood inside the stored window.
 
-    Rows are row-major: row of (y, cb) in octave o = bases[o] + y * nbps[o]
-    + cb.  Unused lanes (>= n * sw) and out-of-image columns are zero.
+    Rows are strip-block-major: octave o is tiled into row strips of
+    2**lss[o] image rows, and row of (y, cb) =
+    ``bases[o] + ((y >> ls) * nbps[o] + cb) << ls + (y & (2**ls - 1))``.
+    With ls = 0 this degenerates to the plain y-major order
+    (base + y * nbp + cb).  The strip order lets the fused front kernel
+    write each grid step's packed rows as ONE contiguous block of a shared
+    buffer (create/alias mode like the gauss twin buffer) — no per-octave
+    XLA concatenation.  Unused lanes (>= n * sw) and out-of-image columns
+    are zero; rows covering image rows >= H are padding the cube gather
+    never reads (interior y only).
     """
 
-    rows: jnp.ndarray  # (sum_o H_o * nbps_o, 128)
+    rows: jnp.ndarray  # (sum_o ceil(H_o/st_o)*st_o * nbps_o, 128)
     shapes: tuple = dataclasses.field(metadata=dict(static=True))  # (S,H,W)/oct
     nbps: tuple = dataclasses.field(metadata=dict(static=True))
     bases: tuple = dataclasses.field(metadata=dict(static=True))
     stride: int = dataclasses.field(metadata=dict(static=True))
     sw: int = dataclasses.field(metadata=dict(static=True))
+    # log2 of each octave's row strip (0 = y-major legacy order).
+    lss: tuple = dataclasses.field(metadata=dict(static=True), default=())
 
 
 def cube_rows_params(n_layers: int, w: int) -> tuple[int, int, int]:
@@ -630,11 +640,15 @@ def cube_rows_params(n_layers: int, w: int) -> tuple[int, int, int]:
     return stride, sw, nbp
 
 
-def cube_rows_xla(d: jnp.ndarray) -> jnp.ndarray:
-    """(B, S, H, W) plain DoG stack -> (B, H * nbp, 128) packed cube rows.
+def cube_rows_xla(d: jnp.ndarray, strip: int = 1) -> jnp.ndarray:
+    """(B, S, H, W) plain DoG stack -> packed cube rows.
 
-    Pure data movement (slices + transpose + pad); the kernel-side producer
-    is the fused front (sift._jit_front_twin_batch) feeding this per octave.
+    ``strip == 1``: the y-major order, (B, H * nbp, 128).  ``strip`` a power
+    of two: the strip-block-major order (see CubeRows), shape
+    (B, ceil(H/strip) * strip * nbp, 128); rows covering image rows >= H
+    are zero padding.  Pure data movement (slices + transpose + pad); the
+    kernel-side producer is the fused front (sift._jit_front_twin_batch)
+    writing the same order straight into the shared buffer.
     """
     b, s, h, w = d.shape
     stride, sw, nbp = cube_rows_params(s, w)
@@ -654,7 +668,13 @@ def cube_rows_xla(d: jnp.ndarray) -> jnp.ndarray:
         + [jnp.zeros((b, h, nbp, 128 - s * sw), d.dtype)],
         axis=-1,
     )  # (b, h, nbp, 128)
-    return lanes.reshape(b, h * nbp, 128)
+    if strip == 1:
+        return lanes.reshape(b, h * nbp, 128)
+    assert strip & (strip - 1) == 0, strip
+    nstr = -(-h // strip)
+    lanes = jnp.pad(lanes, ((0, 0), (0, nstr * strip - h), (0, 0), (0, 0)))
+    lanes = lanes.reshape(b, nstr, strip, nbp, 128).transpose(0, 1, 3, 2, 4)
+    return lanes.reshape(b, nstr * nbp * strip, 128)
 
 
 def gather_cubes_packed(
@@ -672,7 +692,14 @@ def gather_cubes_packed(
     cb = jnp.clip((x - 1) // cr.stride, 0, nbp - 1)
     j0 = x - cb * cr.stride  # lane of column x within the block, minus dx-1
     d3 = jnp.arange(-1, 2)
-    ridx = base[:, None] + (y[:, None] + d3[None, :]) * nbp[:, None] + cb[:, None]
+    yy = y[:, None] + d3[None, :]  # (n, 3): interior y, so yy in [0, H-1]
+    if cr.lss and any(cr.lss):
+        ls = lut(cr.lss, oct_id, jnp.int32)[:, None]
+        sb = yy >> ls  # strip index of each window row
+        yl = yy - (sb << ls)
+        ridx = base[:, None] + ((sb * nbp[:, None] + cb[:, None]) << ls) + yl
+    else:
+        ridx = base[:, None] + yy * nbp[:, None] + cb[:, None]
     rows = cr.rows[ridx.reshape(-1)].reshape(-1, 3, cr.rows.shape[-1])
     # lane of (dz, dx): (z + dz) * sw + (x + dx) - (cb * stride - 1)
     dzdx = (d3[:, None] * cr.sw + d3[None, :]).reshape(-1)  # (9,)

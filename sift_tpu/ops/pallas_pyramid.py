@@ -327,9 +327,9 @@ def fused_octave_front(
 #
 #   gauss twins: stored layers [1, intervals] only (refined keypoint layers
 #     always land there, see models/detect.py refine bounds), blk=64.
-#   DoGs: plain (B, n, H, W) stacks — their only consumer is the Newton
-#     cube gather, which reads the cube-packed layout (gather.CubeRows)
-#     built from these stacks by the caller.
+#   DoGs: cube-packed rows (gather.CubeRows strip-block-major order),
+#     written straight into the shared pk buffer — the plain stacks never
+#     exist; their only consumer is the Newton cube gather.
 #   mask/counts: as fused_octave_front.
 #   down:        plain gauss layer S-3 (the next octave's seed,
 #     src/sift.cpp:195-196) — the only plain-layout output left.
@@ -346,18 +346,16 @@ def fused_octave_front(
 def _octave_front_twin_kernel(
     in_ref, *refs,
     taps_list, sum_ws, strip, halo, height, width, nbm, thr, blk, nbt,
-    g_l0, g_nl, cstride, csw, cnbp, unit,
+    g_l0, g_nl, cstride, csw, cnbp, unit, have_gin, have_pin,
 ):
-    if len(refs) == 6:
-        # (gbuf_in, gt, pk, mask, counts, down): gbuf_in aliased into gt.
-        _, gt_ref, pk_ref, mask_ref, counts_ref, down_ref = refs
-    else:
-        # Create mode (first octave): the kernel's output IS the fresh
-        # buffer — no aliased input, and crucially no XLA zeros-fill of the
-        # ~800 MB batch-16 gather space (blocks outside this octave's
-        # region stay undefined; gathers never index them — later octaves
-        # alias-write their own regions).
-        gt_ref, pk_ref, mask_ref, counts_ref, down_ref = refs
+    # Aliased inputs (when present, in order): gbuf_in -> gt, pkbuf_in -> pk.
+    # Create mode (first octave) omits them: the kernel's output IS the
+    # fresh buffer — no aliased input, and crucially no XLA zeros-fill of
+    # the ~800 MB batch-16 gather spaces (blocks outside this octave's
+    # region stay undefined; gathers never index them — later octaves
+    # alias-write their own regions).
+    refs = refs[int(have_gin) + int(have_pin):]
+    gt_ref, pk_ref, mask_ref, counts_ref, down_ref = refs
     x = in_ref[:]  # (ext, w): strip rows + halo each side (edge-padded seed)
     base = pl.program_id(1) * strip - halo
     n = len(taps_list)
@@ -439,7 +437,9 @@ def _octave_front_twin_kernel(
     # lanes pack every layer's stored window [cb*cstride - 1,
     # cb*cstride - 1 + csw) — built here from the VMEM-resident center
     # strips so the plain DoG stacks never exist (the packed rows are the
-    # DoG's ONLY consumer, via the Newton cube gather).
+    # DoG's ONLY consumer, via the Newton cube gather).  Strip-block-major
+    # row order (CubeRows ls = log2(strip)): this grid step's rows are ONE
+    # contiguous block of the shared pk buffer, written per column block.
     right = (cnbp - 1) * cstride - 1 + csw
     zpadw = max(0, right - w)
     dpad = [
@@ -453,7 +453,9 @@ def _octave_front_twin_kernel(
     lanepad = jnp.zeros((strip, 128 - n * csw), dtype)
     for cb in range(cnbp):
         pieces = [dp[:, cb * cstride : cb * cstride + csw] for dp in dpad]
-        pk_ref[:, cb, :] = jnp.concatenate(pieces + [lanepad], axis=1)
+        pk_ref[cb * strip : (cb + 1) * strip, :] = jnp.concatenate(
+            pieces + [lanepad], axis=1
+        )
 
 
 def pick_strip_front_twin(
@@ -520,17 +522,26 @@ def fused_octave_front_twin(
     g_nl: int | None = None,
     interpret: bool | None = None,
     unit: int = 1,
+    pkbuf: jnp.ndarray | jax.ShapeDtypeStruct | None = None,
+    pkbase: int = 0,
 ):
-    """One octave, one kernel: gauss twin rows in place + plain DoG stack.
+    """One octave, one kernel: gauss twin rows + cube-packed DoG rows, both
+    written in place into shared gather buffers.
 
     img: (B, H, W) seed.  Writes gauss twin rows (stored layers
     [g_l0, g_l0 + g_nl)) into ``gbuf`` at row ``gbase``
-    (strip-major/layer-minor layout, base block-aligned) and returns
-    ``(gbuf, pk, mask, counts, down)`` where ``pk`` is the cube-packed DoG
-    row layout (B, nstrips * strip, nbp, 128) (gather.CubeRows row-major
-    order; rows past H are padding the cube gather never reads),
-    mask/counts are as fused_octave_front and ``down`` is the plain gauss
-    layer S-3.
+    (strip-major/layer-minor layout, base block-aligned) and the
+    cube-packed DoG rows (gather.CubeRows strip-block-major order,
+    ls = log2(strip); rows past H are padding the cube gather never reads)
+    into ``pkbuf`` at row ``pkbase`` (must be nbp*strip-aligned).  Returns
+    ``(gbuf, pkbuf, mask, counts, down)``; mask/counts are as
+    fused_octave_front and ``down`` is the plain gauss layer S-3.
+
+    Either buffer given as a ShapeDtypeStruct = CREATE mode: the kernel's
+    output IS the fresh buffer (no aliased input, no XLA zeros-fill of the
+    ~800 MB batch-16 gather spaces); an array = alias mode.  ``pkbuf``
+    None = standalone mode: a fresh per-octave pk buffer
+    (B, nstrips * nbp * strip, 128) is created.
 
     ``unit`` > 1: ``gbuf`` is the u-row-unit VIEW of the twin layout —
     shape (B, G // u, u * 2 * blk), row i holding twin rows
@@ -566,16 +577,20 @@ def fused_octave_front_twin(
     from sift_tpu.ops.gather import cube_rows_params
 
     cstride, csw, cnbp = cube_rows_params(n, w)
+    pk_unit = cnbp * strip  # packed cube rows per grid step
+    if pkbuf is None:
+        pkbuf = jax.ShapeDtypeStruct((b, nstrips * pk_unit, 128), img.dtype)
+        assert pkbase == 0, pkbase
+    assert pkbase % pk_unit == 0, (pkbase, pk_unit)
+    g_create = isinstance(gbuf, jax.ShapeDtypeStruct)
+    pk_create = isinstance(pkbuf, jax.ShapeDtypeStruct)
     kernel = partial(
         _octave_front_twin_kernel, taps_list=taps_list, sum_ws=sum_ws,
         strip=strip, halo=halo, height=h, width=w, nbm=nbm,
         thr=float(threshold), blk=blk, nbt=nbt, g_l0=g_l0, g_nl=g_nl,
         cstride=cstride, csw=csw, cnbp=cnbp, unit=unit,
+        have_gin=not g_create, have_pin=not pk_create,
     )
-    # ``gbuf`` given as a ShapeDtypeStruct = CREATE mode: the kernel's
-    # output IS the fresh gather buffer (no aliased input, no XLA
-    # zeros-fill of the ~800 MB batch-16 space); an array = alias mode.
-    create = isinstance(gbuf, jax.ShapeDtypeStruct)
     in_specs = [
         pl.BlockSpec(
             (pl.Squeezed(), pl.Element(ext, (0, 0)), pl.Element(w, (0, 0))),
@@ -584,17 +599,21 @@ def fused_octave_front_twin(
         ),
     ]
     operands = [img_pad]
-    if not create:
+    aliases = {}
+    if not g_create:
+        aliases[len(operands)] = 0
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         operands.append(gbuf)
+    if not pk_create:
+        aliases[len(operands)] = 1
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        operands.append(pkbuf)
     outs = pl.pallas_call(
         kernel,
         grid=(b, nstrips),
         out_shape=[
             jax.ShapeDtypeStruct(gbuf.shape, gbuf.dtype),
-            jax.ShapeDtypeStruct(
-                (b, nstrips * strip, cnbp, 128), img.dtype
-            ),
+            jax.ShapeDtypeStruct(pkbuf.shape, pkbuf.dtype),
             jax.ShapeDtypeStruct((b, n - 2, h, w), img.dtype),
             jax.ShapeDtypeStruct((b, n - 2, h, nbm), jnp.int32),
             jax.ShapeDtypeStruct((b, h, w), img.dtype),
@@ -606,8 +625,11 @@ def fused_octave_front_twin(
                 lambda bi, s, gb=gbase // g_unit: (bi, gb + s, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((None, strip, cnbp, 128),
-                         lambda bi, s: (bi, s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (None, pk_unit, 128),
+                lambda bi, s, pb=pkbase // pk_unit: (bi, pb + s, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((None, n - 2, strip, w),
                          lambda bi, s: (bi, 0, s, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, n - 2, strip, nbm),
@@ -615,7 +637,7 @@ def fused_octave_front_twin(
             pl.BlockSpec((None, strip, w), lambda bi, s: (bi, s, 0),
                          memory_space=pltpu.VMEM),
         ],
-        input_output_aliases={} if create else {1: 0},
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,

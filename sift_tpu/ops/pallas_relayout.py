@@ -182,46 +182,50 @@ def twin_rows_strips(
 # above.  Pure data movement; row order identical to cube_rows_xla.
 
 
-def _cube_pack_kernel(d_ref, out_ref, *, nbp, stride, sw, nz):
+def _cube_pack_kernel(d_ref, out_ref, *, nbp, stride, sw, nz, st):
     x = d_ref[:]  # (nz, st, (nbp + 1) * stride) — lane 0 = image column -1
-    st = x.shape[1]
     dt = x.dtype
     pad = jnp.zeros((st, 128 - nz * sw), dt)
     for cb in range(nbp):
         pieces = [x[z, :, cb * stride : cb * stride + sw] for z in range(nz)]
         pieces.append(pad)
-        out_ref[:, cb, :] = jnp.concatenate(pieces, axis=-1)
+        out_ref[cb * st : (cb + 1) * st, :] = jnp.concatenate(pieces, axis=-1)
 
 
 def cube_pack_rows(
-    d: jnp.ndarray, interpret: bool | None = None
+    d: jnp.ndarray, strip: int = 64, interpret: bool | None = None
 ) -> jnp.ndarray:
-    """(B, S, H, W) plain DoG stack -> (B, H * nbp, 128) packed cube rows.
+    """(B, S, H, W) plain DoG stack -> (B, nstr * strip * nbp, 128) packed
+    cube rows in the strip-block-major CubeRows order (ls = log2(strip)).
 
-    Bit-identical output to gather.cube_rows_xla (rows past H hold padding
-    that the cube gather never reads — interior y only).
+    Bit-identical output to gather.cube_rows_xla(d, strip) on rows covering
+    image rows < H (rows past H hold padding that the cube gather never
+    reads — interior y only; cube_rows_xla zero-fills them instead).
     """
     from sift_tpu.ops.gather import cube_rows_params
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    assert strip & (strip - 1) == 0, strip
     b, s, h, w = d.shape
     stride, sw, nbp = cube_rows_params(s, w)
     wp = (nbp + 1) * stride
-    st = 64
+    st = strip
     hp = -(-h // st) * st
     # Lane 0 = column -1 (the left halo of block 0); zero past W.
     dp = jnp.pad(d, ((0, 0), (0, 0), (0, hp - h), (1, wp - w - 1)))
-    kernel = partial(_cube_pack_kernel, nbp=nbp, stride=stride, sw=sw, nz=s)
+    kernel = partial(
+        _cube_pack_kernel, nbp=nbp, stride=stride, sw=sw, nz=s, st=st
+    )
     out = pl.pallas_call(
         kernel,
         grid=(b, hp // st),
-        out_shape=jax.ShapeDtypeStruct((b, hp, nbp, 128), d.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, (hp // st) * nbp * st, 128), d.dtype),
         in_specs=[
             pl.BlockSpec((None, s, st, wp), lambda bi, si: (bi, 0, si, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (None, st, nbp, 128), lambda bi, si: (bi, si, 0, 0)
+            (None, nbp * st, 128), lambda bi, si: (bi, si, 0)
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -229,4 +233,4 @@ def cube_pack_rows(
         ),
         interpret=interpret,
     )(dp)
-    return out.reshape(b, hp * nbp, 128)[:, : h * nbp]
+    return out

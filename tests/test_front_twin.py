@@ -118,13 +118,24 @@ def test_fused_front_twin_matches_front(hw):
     )
 
     # The kernel's cube-packed DoG rows == the XLA packing of the plain
-    # front's DoG stacks (rows past H are padding the gather never reads).
+    # front's DoG stacks, in the strip-block-major order (rows covering
+    # image rows >= H are padding the gather never reads: the kernel fills
+    # them with edge-padded blur values, cube_rows_xla with zeros — mask
+    # them out of the comparison).
     from sift_tpu.ops.gather import cube_rows_params, cube_rows_xla
 
     _, _, nbp = cube_rows_params(n, w)
-    pk_ref = np.asarray(cube_rows_xla(d2))
-    pk_got = np.asarray(pk.reshape(2, -1, 128))[:, : h * nbp]
-    np.testing.assert_array_equal(pk_got, pk_ref)
+    pk_ref = np.asarray(cube_rows_xla(d2, st))
+    pk_got = np.asarray(pk)
+    assert pk_got.shape == pk_ref.shape
+    pk_def = np.ones(pk_ref.shape[1], bool)
+    for s in range(nstrips):
+        lo = h - s * st
+        if lo < st:  # partial strip: rows [lo, st) of each block undefined
+            for cb in range(nbp):
+                off = (s * nbp + cb) * st
+                pk_def[off + max(lo, 0) : off + st] = False
+    np.testing.assert_array_equal(pk_got[:, pk_def], pk_ref[:, pk_def])
     gt_ref = twin_strided_xla(g2, blk, st, g_l0, g_nl)
     # rows holding image rows >= H are padding (undefined); compare only
     # defined rows: strip s covers image rows [s*st, min(H, (s+1)*st))
@@ -212,6 +223,30 @@ def test_gather_cubes_packed_matches_multi_rows():
     c_ref = np.asarray(gather_cubes_multi(mr, jnp.asarray(oct_id), zyx))
     c_new = np.asarray(gather_cubes_packed(cr, jnp.asarray(oct_id), zyx))
     np.testing.assert_array_equal(c_ref, c_new)
+
+    # Strip-block-major order (the shared-buffer production layout, per-
+    # octave strips, ls > 0): same cubes bit-for-bit.
+    strips = (16, 8, 8, 32)
+    rows_s, bases_s = [], []
+    acc = 0
+    for v, st in zip(vols, strips):
+        _, _, nbp = cube_rows_params(v.shape[0], v.shape[2])
+        unit = nbp * st
+        acc = -(-acc // unit) * unit
+        bases_s.append(acc)
+        r = cube_rows_xla(v[None], st)[0]
+        acc += r.shape[0]
+        rows_s.append((bases_s[-1], r))
+    buf = np.zeros((acc, 128), np.float32)
+    for base, r in rows_s:
+        buf[base : base + r.shape[0]] = np.asarray(r)
+    cr_s = CubeRows(
+        rows=jnp.asarray(buf), shapes=tuple(shapes),
+        nbps=tuple(nbps), bases=tuple(bases_s), stride=stride, sw=sw,
+        lss=tuple(st.bit_length() - 1 for st in strips),
+    )
+    c_strip = np.asarray(gather_cubes_packed(cr_s, jnp.asarray(oct_id), zyx))
+    np.testing.assert_array_equal(c_ref, c_strip)
 
 
 def test_unit_gather_matches_per_row_path():

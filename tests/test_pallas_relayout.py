@@ -147,8 +147,12 @@ def test_cube_pack_rows_matches_xla():
     rng = np.random.default_rng(3)
     # (1, 5, 40, 69): stride-divisible width ((w-3) % 22 == 0) — the extra
     # last block from the advisor's round-4 nbp fix must round-trip too.
-    for shape in [(2, 5, 96, 200), (1, 5, 70, 23), (2, 5, 9, 47), (1, 5, 40, 69)]:
+    # Both sides zero-fill rows past H, so the comparison is whole-buffer.
+    for shape, strip in [
+        ((2, 5, 96, 200), 64), ((1, 5, 70, 23), 16),
+        ((2, 5, 9, 47), 8), ((1, 5, 40, 69), 32),
+    ]:
         d = jnp.asarray(rng.normal(size=shape).astype(np.float32))
-        ref = np.asarray(cube_rows_xla(d))
-        got = np.asarray(cube_pack_rows(d, interpret=True))
+        ref = np.asarray(cube_rows_xla(d, strip))
+        got = np.asarray(cube_pack_rows(d, strip, interpret=True))
         np.testing.assert_array_equal(ref, got)
