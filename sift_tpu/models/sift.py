@@ -50,7 +50,10 @@ from sift_tpu.models.detect import (
 from sift_tpu.models.orient import orient_all, orient_octave_keypoints
 from sift_tpu.models.pyramid import build_pyramids, compute_initial_image
 from sift_tpu.ops.gather import build_multi_rows, compact_mask
-from sift_tpu.ops.resize import downsample_nearest_x2
+from sift_tpu.ops.resize import (
+    downsample_nearest_x2,
+    downsample_nearest_x2_mxu,
+)
 from sift_tpu.utils import keypoints as kputil
 from sift_tpu.utils.keypoints import Keypoints
 
@@ -276,7 +279,7 @@ def _jit_front_twin_batch(imgs, cfg: SiftConfig, octaves: int):
             )
         masks.append(m)
         counts.append(c)
-        img = downsample_nearest_x2(down)
+        img = downsample_nearest_x2_mxu(down)
     shp = tuple(p[2].bit_length() - 1 for p in plan)
     gmr = MultiRows(
         rows=None,

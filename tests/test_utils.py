@@ -124,3 +124,25 @@ def test_checked_catches_nan():
     with pytest.raises(FloatingPointError):
         assert_finite({"a": np.array([1.0, np.nan])})
     assert_finite({"a": np.array([1.0, 2.0])})
+
+
+def test_downsample_mxu_bitwise_matches_slice():
+    """downsample_nearest_x2_mxu (row-pair reshape + one-hot HIGHEST
+    contraction) is bit-identical to the strided-slice formulation on
+    pixel-domain f32, odd and even dims, batched and not."""
+    import jax.numpy as jnp
+
+    from sift_tpu.ops.resize import (
+        downsample_nearest_x2,
+        downsample_nearest_x2_mxu,
+    )
+
+    rng = np.random.default_rng(7)
+    for shape in [(8, 10), (9, 13), (3, 31, 64), (2, 5, 17, 22)]:
+        x = jnp.asarray(
+            (rng.uniform(-1, 256, shape) * rng.uniform(1e-6, 1.0, shape))
+            .astype(np.float32)
+        )
+        a = np.asarray(downsample_nearest_x2(x))
+        b = np.asarray(downsample_nearest_x2_mxu(x))
+        np.testing.assert_array_equal(a, b)
