@@ -96,8 +96,11 @@ def main() -> None:
     _, counts = detect_and_describe_batch(imgs, cfg, return_counts=True)
     from sift_tpu.models.detect import refine_cascade_caps
 
+    from sift_tpu.models.sift import ORI_CAND_SLOTS
+
     for name, cap in (("extrema", cfg.extrema_cap), ("refined", cfg.kp_cap),
-                      ("oriented", cfg.ori_cap)):
+                      ("oriented", cfg.ori_cap),
+                      ("ori_slots_max", ORI_CAND_SLOTS)):
         mx = int(np.asarray(counts[name]).max())
         assert mx <= cap, f"{name} overflow: {mx} > cap {cap}"
     ract = np.asarray(counts["refine_active"])  # (B, phases)
@@ -185,7 +188,8 @@ def main() -> None:
                 )
                 for name, cap in (("extrema", cfg_s.extrema_cap),
                                   ("refined", cfg_s.kp_cap),
-                                  ("oriented", cfg_s.ori_cap)):
+                                  ("oriented", cfg_s.ori_cap),
+                                  ("ori_slots_max", ORI_CAND_SLOTS)):
                     mx = int(np.asarray(cts[name]).max())
                     assert mx <= cap, (
                         f"stream {name} overflow: {mx} > {cap} "

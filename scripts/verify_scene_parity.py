@@ -72,8 +72,11 @@ def _tpu_f32_sweep(args, cfg) -> None:
         pad = chunk + [chunk[-1]] * (bs - len(chunk))
         imgs = jnp.asarray(np.stack([frames[f] for f in pad]))
         kp, counts = detect_and_describe_batch(imgs, cfg, return_counts=True)
+        from sift_tpu.models.sift import ORI_CAND_SLOTS
+
         for name, cap in (("extrema", cfg.extrema_cap),
-                          ("refined", cfg.kp_cap), ("oriented", cfg.ori_cap)):
+                          ("refined", cfg.kp_cap), ("oriented", cfg.ori_cap),
+                          ("ori_slots_max", ORI_CAND_SLOTS)):
             mx = int(np.asarray(counts[name]).max())
             assert mx <= cap, (
                 f"frames {chunk}: {name} overflow {mx} > cap {cap} — "

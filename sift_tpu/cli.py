@@ -99,10 +99,14 @@ def _warn_capacity_overflow(counts, cfg) -> None:
 
     from sift_tpu.models.detect import refine_cascade_caps
 
+    from sift_tpu.models.sift import ORI_CAND_SLOTS
+
     checks = [
         ("extrema", cfg.extrema_cap, np.asarray(counts["extrema"])),
         ("refined", cfg.kp_cap, np.asarray(counts["refined"])),
         ("oriented", cfg.ori_cap, np.asarray(counts["oriented"])),
+        ("ori_slots_max", ORI_CAND_SLOTS,
+         np.asarray(counts["ori_slots_max"])),
     ]
     ract = np.asarray(counts["refine_active"])  # (..., phases)
     for p, (cap_p, _steps) in enumerate(refine_cascade_caps(cfg, cfg.extrema_cap)):

@@ -62,6 +62,7 @@ def orient_all(
     vol_sel: jnp.ndarray | None = None,
     n_octaves: int | None = None,
     dispatch_radius: bool = False,
+    cand_slots: int | None = None,
 ) -> Keypoints:
     """Assign orientations to a mixed-octave keypoint buffer (one program).
 
@@ -77,6 +78,19 @@ def orient_all(
     space and per-chunk window dispatch — same contracts as
     ``descriptor.compute_descriptors_all`` (see its docstring; in
     particular do NOT enable dispatch under vmap).
+
+    ``cand_slots``: compress the per-keypoint candidate axis from num_bins
+    (36) to this many slots before emitting, preserving bin order — the
+    reference pushes one keypoint per accepted histogram peak
+    (src/sift.cpp:506-518), and strict local maxima over 36 bins allow at
+    most 18, with real images peaking at 3-4.  Downstream lane buffers
+    (the batch un-permute gather, the per-image compact sort) shrink
+    num_bins/C-fold while the valid candidate set and its relative order
+    are untouched, so compact/dedup outputs are bit-identical.  Returns
+    ``(Keypoints, max_peaks)`` in this mode; ``max_peaks`` (the largest
+    per-keypoint peak count on valid lanes) exceeding ``cand_slots`` means
+    real candidates were dropped — callers surface it through the same
+    capacity-honesty counts as the other fixed buffers.
     """
     dtype = kp.x.dtype
     mr = with_row_units(mr)  # loop-invariant unit-gather view
@@ -216,21 +230,43 @@ def orient_all(
     ori = jnp.fmod(ori + M_PI2, M_PI2)
 
     halve = jnp.asarray(0.5 if cfg.double_image_size else 1.0, dtype)
-    cand_valid = (kp.valid[:, None] & is_peak).reshape(-1)
+    peak_valid = kp.valid[:, None] & is_peak  # (n, nb)
+
+    slots = nb if cand_slots is None else cand_slots
+    if cand_slots is not None:
+        # Per-lane compression: take the first ``cand_slots`` peaks in bin
+        # order (stable argsort on the masked bin index), so the flattened
+        # (lane, slot) candidate order equals the (lane, bin) order on
+        # valid lanes — compact/dedup see the identical sequence.
+        counts = jnp.sum(peak_valid, axis=1, dtype=jnp.int32)
+        max_peaks = jnp.max(jnp.where(kp.valid, counts, 0))
+        bidx = jnp.arange(nb, dtype=jnp.int32)[None, :]
+        order = jnp.argsort(
+            jnp.where(peak_valid, bidx, nb), axis=1, stable=True
+        )[:, :slots]
+        ori = jnp.take_along_axis(ori, order, axis=1)
+        peak_valid = (
+            jnp.arange(slots, dtype=jnp.int32)[None, :] < counts[:, None]
+        )
+
+    cand_valid = peak_valid.reshape(-1)
 
     def rep(a):
-        return jnp.repeat(a, nb, axis=0)
+        return jnp.repeat(a, slots, axis=0)
 
-    return Keypoints(
+    out = Keypoints(
         x=rep(kp.x * halve),
         y=rep(kp.y * halve),
         octave=rep(kp.octave),
         layer=rep(kp.layer),
         size=rep(kp.size * halve),
         pori=ori.reshape(-1),
-        desc=jnp.zeros((n * nb, 128), jnp.uint8),
+        desc=jnp.zeros((n * slots, 128), jnp.uint8),
         valid=cand_valid,
     )
+    if cand_slots is not None:
+        return out, max_peaks
+    return out
 
 
 def orient_octave_keypoints(

@@ -439,6 +439,12 @@ def _use_dispatch(cfg: SiftConfig) -> bool:
     return jnp.dtype(cfg.dtype) != jnp.float64
 
 
+# Per-keypoint orientation-candidate slots on the production path: strict
+# local maxima over 36 bins allow at most 18 peaks; real images peak at 3-4.
+# The honesty counter ``ori_slots_max`` asserts no valid lane exceeded this.
+ORI_CAND_SLOTS = 8
+
+
 @partial(jax.jit, static_argnums=(2,))
 def _jit_orient_batch(mr, kp, cfg: SiftConfig):
     """Orientation over a flattened (batch x capacity) lane space; see
@@ -449,7 +455,10 @@ def _jit_orient_batch(mr, kp, cfg: SiftConfig):
         # descending octave-local size, un-permute the candidate BLOCKS
         # afterwards so downstream order (and ori_cap overflow behavior) is
         # exactly as unpermuted.  Orientation's pow_denom is 2^-octave (no
-        # double-image shift, src/sift.cpp:458).
+        # double-image shift, src/sift.cpp:458).  Candidates are emitted
+        # compressed to ORI_CAND_SLOTS per keypoint (order-preserving; see
+        # orient_all) so the un-permute gather and the per-image compact
+        # sort below run on num_bins/slots-fold fewer lanes.
         key = jnp.where(
             flat.valid,
             flat.size * 2.0 ** (-flat.octave.astype(flat.size.dtype)),
@@ -458,11 +467,11 @@ def _jit_orient_batch(mr, kp, cfg: SiftConfig):
         perm = jnp.argsort(-key, stable=True)
         inv = jnp.argsort(perm, stable=True)
         flat_p = jax.tree.map(lambda a: a[perm], flat)
-        cand = orient_all(
+        cand, max_peaks = orient_all(
             merged, flat_p, cfg, vol_sel=vol_sel[perm], n_octaves=octaves,
-            dispatch_radius=True,
+            dispatch_radius=True, cand_slots=ORI_CAND_SLOTS,
         )
-        nbins = cfg.num_bins
+        nbins = ORI_CAND_SLOTS
         n_lanes = b * cap
         cand = jax.tree.map(
             lambda a: a.reshape((n_lanes, nbins) + a.shape[1:])[inv].reshape(
@@ -474,15 +483,18 @@ def _jit_orient_batch(mr, kp, cfg: SiftConfig):
         cand = orient_all(
             merged, flat, cfg, vol_sel=vol_sel, n_octaves=octaves,
         )
+        nbins = cfg.num_bins
+        max_peaks = jnp.asarray(0, jnp.int32)
     cand_b = jax.tree.map(
-        lambda a: a.reshape((b, cap * cfg.num_bins) + a.shape[1:]), cand
+        lambda a: a.reshape((b, cap * nbins) + a.shape[1:]), cand
     )
 
     def one(c):
         n_cand = jnp.sum(c.valid, dtype=jnp.int32)
         return kputil.compact(c, cfg.ori_cap), n_cand
 
-    return jax.vmap(one)(cand_b)
+    out, n_cand = jax.vmap(one)(cand_b)
+    return out, n_cand, max_peaks
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -566,7 +578,7 @@ def detect_and_describe_batch(
         mr = _jit_gauss_rows_batch(gaussians)
     if jnp.dtype(cfg.dtype) == jnp.float64:
         kp = _host_exact_sizes_mixed(kp, off0, cfg)
-    cand, n_cand = _jit_orient_batch(mr, kp, cfg)
+    cand, n_cand, ori_slots_max = _jit_orient_batch(mr, kp, cfg)
     allkp = _jit_dedup_compact_batch(cand, cfg.ori_cap)
     desc = _jit_desc_all_batch(mr, allkp, cfg)
     out = dataclasses.replace(allkp, desc=desc)
@@ -574,6 +586,9 @@ def detect_and_describe_batch(
         return out, dict(
             extrema=n_ext, refined=n_ref, oriented=n_cand,
             refine_active=n_active,
+            # > ORI_CAND_SLOTS means a keypoint's orientation candidates
+            # were clipped (capacity honesty, like the other counts).
+            ori_slots_max=ori_slots_max,
         )
     return out
 
